@@ -1,0 +1,104 @@
+"""Data pipeline tests: synthetic contract, on-device preprocessing parity
+with torch resize semantics, mask store round-trips."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from weaklysuperviseddl_tpu.data import download_data, load_split_data, MaskStore
+from weaklysuperviseddl_tpu.data.loader import batches
+from weaklysuperviseddl_tpu.data.preprocess import preprocess_batch
+from weaklysuperviseddl_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+def test_synthetic_contract():
+    ds = download_data(None, split="trainval", synthetic_size=8, image_size=64)
+    assert len(ds) == 8
+    img, (label, tri) = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert 0 <= label < 37
+    assert set(np.unique(tri)).issubset({1, 2, 3})
+    # foreground exists
+    assert (tri == 1).sum() > 50
+
+
+def test_split_disjoint_and_sized():
+    train, val = load_split_data(None, train_ratio=0.75, synthetic_size=16, image_size=32)
+    assert len(train) == 12 and len(val) == 4
+
+
+def test_batches_pad_to_full():
+    ds = download_data(None, split="trainval", synthetic_size=10, image_size=32)
+    bs = list(batches(ds, batch_size=4, pad_to_full=True))
+    assert len(bs) == 3
+    assert all(b.image.shape[0] == 4 for b in bs)
+    assert bs[-1].num_valid == 2
+
+
+def test_preprocess_shapes_and_labels():
+    ds = download_data(None, split="trainval", synthetic_size=4, image_size=96)
+    b = next(iter(batches(ds, batch_size=4)))
+    x, t = preprocess_batch(
+        jnp.asarray(b.image), jnp.asarray(b.trimap), size=64,
+        interpolation="bilinear", shift_mask_labels=True,
+    )
+    assert x.shape == (4, 64, 64, 3) and x.dtype == jnp.float32
+    assert float(x.min()) >= 0.0 and float(x.max()) <= 1.0
+    # trimap batch must resize H,W — not the batch axis (regression: rank-3 ambiguity)
+    assert t.shape == (4, 64, 64)
+    # shifted labels: {1,2,3} -> {0,1,2}
+    assert set(np.unique(np.asarray(t))).issubset({0, 1, 2})
+
+
+def test_bilinear_matches_torch_interpolate():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 14, 14, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), (224, 224), antialias=False))
+    ref = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(224, 224),
+        mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("out", [(37, 41), (224, 224), (7, 7)])
+def test_nearest_matches_torch_legacy(out):
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 255, size=(1, 23, 29), dtype=np.uint8)
+    got = np.asarray(resize_nearest(jnp.asarray(x[0]), out, torch_legacy=True))
+    ref = F.interpolate(
+        torch.from_numpy(x).unsqueeze(0).float(), size=out, mode="nearest"
+    )[0, 0].numpy().astype(np.uint8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mask_store_roundtrip(tmp_path):
+    store = MaskStore(directory=str(tmp_path))
+    img = (np.random.default_rng(0).uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+    mask = (np.random.default_rng(1).uniform(0, 1, (32, 32)) > 0.5).astype(np.uint8)
+    store.put("0003", img, mask)
+    store.put("0001", img, 1 - mask)
+
+    reloaded = MaskStore.load(str(tmp_path))
+    assert reloaded.keys() == ["0001", "0003"]
+    _, m = reloaded.get("0003")
+    np.testing.assert_array_equal(m, mask)
+
+    images, masks, keys = reloaded.as_arrays()
+    assert images.shape == (2, 32, 32, 3) and masks.shape == (2, 32, 32)
+
+
+def test_metrics_match_reference_semantics():
+    from weaklysuperviseddl_tpu.utils.metrics import compute_iou_and_acc, per_class_iou
+
+    pred = jnp.asarray([[1, 1], [0, 0]])
+    true = jnp.asarray([[1, 0], [0, 0]])
+    iou, acc = compute_iou_and_acc(pred, true)
+    assert abs(float(iou) - 0.5) < 1e-6
+    assert abs(float(acc) - 0.75) < 1e-6
+
+    ious, miou, pacc = per_class_iou(pred, true, num_classes=3)
+    assert np.isnan(np.asarray(ious)[2])
+    assert abs(float(pacc) - 0.75) < 1e-6

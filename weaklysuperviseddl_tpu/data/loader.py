@@ -1,0 +1,92 @@
+"""Minimal host-side batcher feeding the on-device preprocessing pipeline.
+
+Replaces the reference's torch ``DataLoader(num_workers=4)`` (ref
+AlternatingDirectionCutLoss.py:476). Ragged raw decodes are host-resized once
+to a common stacking size; everything downstream is device work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclass
+class Batch:
+    image: np.ndarray   # [B,H,W,3] uint8
+    label: np.ndarray   # [B] int32
+    trimap: np.ndarray  # [B,H,W] uint8
+    # count of real (non-padded) examples; == B except possibly the last batch
+    num_valid: int = -1
+
+    def __post_init__(self):
+        if self.num_valid < 0:
+            self.num_valid = self.image.shape[0]
+
+
+def _host_resize(img: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((size, size), Image.BILINEAR), np.uint8
+    )
+
+
+def _host_resize_nearest(mask: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(mask).resize((size, size), Image.NEAREST), np.uint8)
+
+
+def batches(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    stack_size: int | None = None,
+    drop_remainder: bool = False,
+    pad_to_full: bool = False,
+) -> Iterator[Batch]:
+    """Yield stacked uint8 batches. If images are ragged (real Pet decodes),
+    they are host-resized to ``stack_size`` (default: 256) before stacking;
+    uniform datasets (synthetic) stack as-is.
+
+    ``pad_to_full`` repeats the last example to keep shapes static (jit/SPMD
+    friendly); ``Batch.num_valid`` records the real count.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+
+    uniform = all(
+        dataset.images[i].shape == dataset.images[0].shape for i in range(min(n, 8))
+    )
+    ss = stack_size or 256
+
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if drop_remainder and len(idx) < batch_size:
+            return
+        imgs, tris = [], []
+        for i in idx:
+            img, tri = dataset.images[i], dataset.trimaps[i]
+            if not uniform:
+                img = _host_resize(img, ss)
+                tri = _host_resize_nearest(tri, ss)
+            imgs.append(img)
+            tris.append(tri)
+        num_valid = len(idx)
+        if pad_to_full and num_valid < batch_size:
+            pad = batch_size - num_valid
+            imgs += [imgs[-1]] * pad
+            tris += [tris[-1]] * pad
+            idx = np.concatenate([idx, np.repeat(idx[-1], pad)])
+        yield Batch(
+            image=np.stack(imgs).astype(np.uint8),
+            label=dataset.labels[idx].astype(np.int32),
+            trimap=np.stack(tris),
+            num_valid=num_valid,
+        )
