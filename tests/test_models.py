@@ -1,0 +1,77 @@
+"""Numerical parity of flax backbones vs PyTorch goldens (weights converted
+via models/torch_import.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from weaklysuperviseddl_tpu.models.classifier import CamClassifier
+from weaklysuperviseddl_tpu.models.torch_import import cam_classifier_variables
+
+from torch_ref import TResNetCAM, randomize_bn_stats
+
+
+def make_pair(depth, width, dilate=True, num_classes=37, seed=0):
+    torch.manual_seed(seed)
+    tmodel = TResNetCAM(depth=depth, width=width, num_classes=num_classes,
+                        replace_stride_with_dilation=(False, False, dilate))
+    randomize_bn_stats(tmodel, seed)
+    tmodel.eval()
+    variables = cam_classifier_variables(tmodel.state_dict())
+    fmodel = CamClassifier(num_classes=num_classes, depth=depth,
+                           width_multiplier=width, dilate_layer4=dilate)
+    variables = jax.tree.map(jnp.asarray, variables)
+    return tmodel, fmodel, variables
+
+
+@pytest.mark.parametrize("depth,width", [(18, 0.25), (50, 0.25)])
+def test_classifier_parity(depth, width):
+    tmodel, fmodel, variables = make_pair(depth, width)
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        tlogits, tfeats = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    flogits, ffeats = fmodel.apply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(flogits), tlogits.numpy(), rtol=1e-3, atol=1e-4,
+    )
+    for ff, tf in zip(ffeats, tfeats):
+        np.testing.assert_allclose(
+            np.asarray(ff), tf.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-3,
+        )
+
+
+def test_dilated_layer4_shape():
+    # 224-input → layer4 stays 14×14 when dilated (ref ClassificationModel.py:12)
+    _, fmodel, variables = make_pair(18, 0.25)
+    x = jnp.zeros((1, 224, 224, 3))
+    _, feats = fmodel.apply(variables, x)
+    assert feats[1].shape[1:3] == (14, 14)  # layer3: os 16
+    assert feats[2].shape[1:3] == (14, 14)  # layer4: dilated, os stays 16
+
+    _, fmodel2, variables2 = make_pair(18, 0.25, dilate=False)
+    _, feats2 = fmodel2.apply(variables2, x)
+    assert feats2[2].shape[1:3] == (7, 7)  # undilated: os 32
+
+
+def test_perturbation_is_gradient_port():
+    """Zero perturbations don't change outputs; grads flow to them."""
+    _, fmodel, variables = make_pair(18, 0.25)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 64, 64, 3), dtype=np.float32))
+
+    logits0, feats = fmodel.apply(variables, x)
+    zeros = {"layer3": jnp.zeros_like(feats[1]), "layer4": jnp.zeros_like(feats[2])}
+    logits1, _ = fmodel.apply(variables, x, perturbations=zeros)
+    np.testing.assert_allclose(np.asarray(logits0), np.asarray(logits1), rtol=1e-6)
+
+    def score(perts):
+        lg, _ = fmodel.apply(variables, x, perturbations=perts)
+        return lg[0, 3]
+
+    grads = jax.grad(score)(zeros)
+    assert float(jnp.abs(grads["layer3"]).max()) > 0
+    assert float(jnp.abs(grads["layer4"]).max()) > 0

@@ -1,0 +1,110 @@
+"""Functional LayerCAM — no hooks, one jit, vmap-batched.
+
+Replaces the reference's mutable hook machinery
+(ref TraditionalModel/LayerCAM.py:7-81 and the 3-layer variant at
+AlternatingDirectionCutLoss.py:216-318) with a single ``jax.vjp`` over
+additive zero perturbations at the target activations: the gradient w.r.t. a
+zero perturbation at a layer output IS torch's ``grad_output[0]`` for that
+layer. The whole path — forward, backward, CAM fusion, normalization,
+upsampling — compiles to one XLA program and is batched over images (the
+reference is strictly per-image, LayerCAM.py:38).
+
+CAM math reproduced exactly:
+  per layer: ``relu(grad ⊙ act).sum(channels)`` → relu → per-image min-max
+  normalize, then either
+    * alpha_mode='per_layer': ``**alpha`` → renormalize (ref CutLoss.py:270-279)
+    * alpha_mode='final'    : nothing per-layer; after the cross-layer mean,
+      ``clamp(0) ** alpha`` (ref LayerCAM.py:61-76)
+  bilinear-upsample each layer CAM to ``output_size`` (align_corners=False),
+  mean over layers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from weaklysuperviseddl_tpu.ops.resize import resize_bilinear
+
+
+def _minmax(cam):
+    """Per-image min-max normalize over trailing spatial dims: c-=min; c/=(max+1e-8)."""
+    lo = jnp.min(cam, axis=(-2, -1), keepdims=True)
+    cam = cam - lo
+    hi = jnp.max(cam, axis=(-2, -1), keepdims=True)
+    return cam / (hi + 1e-8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "target_layers", "alpha_mode", "output_size"),
+)
+def layercam(
+    model,
+    variables,
+    images: jnp.ndarray,             # [B,H,W,3]
+    class_idx: jnp.ndarray | None,   # [B] int32, or None → argmax(logits)
+    target_layers: tuple[str, ...] = ("layer3", "layer4"),
+    alpha: float = 1.0,
+    alpha_mode: str = "per_layer",
+    output_size: int = 224,
+):
+    """Batched LayerCAM. Returns (cam [B,S,S] float32 in [0,1], logits [B,K])."""
+    # Static feature shapes without compute
+    feat_shapes = jax.eval_shape(
+        lambda x: model.apply(variables, x, method=model.features)[1], images
+    )
+    zeros = {name: jnp.zeros(feat_shapes[name].shape, jnp.float32) for name in target_layers}
+
+    def fwd(perts):
+        logits, feats = model.apply(variables, images, method=model.features, perturbations=perts)
+        return logits, {name: feats[name] for name in target_layers}
+
+    (logits, acts), vjp_fn = jax.vjp(fwd, zeros)
+
+    if class_idx is None:
+        class_idx = jnp.argmax(logits, axis=1)
+    # cotangent = one-hot on the selected class: equivalent to the reference's
+    # class_scores.backward(ones) on gathered logits (ref LayerCAM.py:47-48)
+    g_logits = jax.nn.one_hot(class_idx, logits.shape[1], dtype=logits.dtype)
+    g_acts = jax.tree.map(jnp.zeros_like, acts)
+    (grads,) = vjp_fn((g_logits, g_acts))
+
+    layer_cams = []
+    for name in target_layers:
+        act = acts[name]          # [B,h,w,C] (NHWC)
+        grad = grads[name]
+        cam = jnp.sum(jax.nn.relu(grad * act), axis=-1)  # [B,h,w]
+        cam = jax.nn.relu(cam)
+        cam = _minmax(cam)
+        if alpha_mode == "per_layer":
+            cam = _minmax(cam ** alpha)
+        cam = resize_bilinear(cam, (output_size, output_size), axes=(1, 2))
+        layer_cams.append(cam)
+
+    final = sum(layer_cams) / len(layer_cams)
+    if alpha_mode == "final":
+        final = jnp.clip(final, 0.0, None) ** alpha
+    return final, logits
+
+
+def layercam_bg(
+    model,
+    variables,
+    images,
+    class_idx,
+    target_layers=("layer2", "layer3", "layer4"),
+    alpha: float = 2.0,
+    output_size: int = 224,
+):
+    """Background/foreground CAM pair (ref AlternatingDirectionCutLoss.py:296-318):
+    m_bg = 1 - (1 - cam).clamp(0)**alpha. Returns (m_bg [B,S,S], cam [B,S,S])."""
+    cam, _ = layercam(
+        model, variables, images, class_idx,
+        target_layers=target_layers, alpha=1.0, alpha_mode="per_layer",
+        output_size=output_size,
+    )
+    m_bg = 1.0 - jnp.clip(1.0 - cam, 0.0, None) ** alpha
+    return m_bg, cam

@@ -1,0 +1,170 @@
+"""ResNet backbones in flax — NHWC layouts, MXU-friendly.
+
+TPU-first re-design of the reference's torchvision backbones:
+  * classifier backbone: ResNet-50 with ``replace_stride_with_dilation =
+    [False, False, True]`` → 14×14 layer4 features at 224² input
+    (ref TraditionalModel/ClassificationModel.py:12)
+  * DeepLabV3 backbone: output-stride 8 (layer3+layer4 dilated), the
+    torchvision ``deeplabv3_resnet50`` convention (ref SegmentationModel.py:86)
+  * BASNet encoder: ResNet-34 BasicBlocks (ref PretrainedBasnetModel/model/resnet_model.py)
+
+Semantics match PyTorch exactly so pretrained ``.pth`` weights can be ingested
+(models/torch_import.py): explicit symmetric conv padding (never 'SAME'),
+BN eps 1e-5 / momentum 0.1 (flax momentum=0.9), -inf-padded max-pool.
+
+Dilation follows torchvision's ``_make_layer``: when a stage is dilated its
+first block keeps the *previous* dilation and stride collapses to 1; remaining
+blocks use the accumulated dilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+BOTTLENECK_DEPTHS = (50,)
+
+
+def _norm(dtype, name):
+    # use_running_average is threaded at call time
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
+
+
+def _conv(features, kernel, stride=1, dilation=1, dtype=jnp.float32, name=None):
+    pad = (kernel // 2) * dilation
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=False, dtype=dtype, name=name,
+    )
+
+
+class BasicBlock(nn.Module):
+    """2× 3×3 conv + identity residual (ResNet-18/34; ref resnet_model.py:29-58)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        out = _conv(self.planes, 3, self.stride, self.dilation, dt, "conv1")(x)
+        out = _norm(dt, "bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dilation, dt, "conv2")(out)
+        out = _norm(dt, "bn2")(out, use_running_average=not train)
+        if self.has_downsample:
+            res = _conv(self.planes, 1, self.stride, 1, dt, "downsample_conv")(x)
+            res = _norm(dt, "downsample_bn")(res, use_running_average=not train)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class Bottleneck(nn.Module):
+    """1-3-1 bottleneck, expansion 4 (ResNet-50; ref resnet_model.py:99-135)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        out = _conv(self.planes, 1, 1, 1, dt, "conv1")(x)
+        out = _norm(dt, "bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, self.dilation, dt, "conv2")(out)
+        out = _norm(dt, "bn2")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, 1, 1, dt, "conv3")(out)
+        out = _norm(dt, "bn3")(out, use_running_average=not train)
+        if self.has_downsample:
+            res = _conv(self.planes * 4, 1, self.stride, 1, dt, "downsample_conv")(x)
+            res = _norm(dt, "downsample_bn")(res, use_running_average=not train)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class ResNetBackbone(nn.Module):
+    """Stem + 4 stages; returns the full feature pyramid.
+
+    ``replace_stride_with_dilation`` applies to (layer2, layer3, layer4) as in
+    torchvision. ``width_multiplier`` shrinks channel counts for smoke-scale
+    tests (parity runs use 1.0).
+    """
+
+    depth: int = 50
+    width_multiplier: float = 1.0
+    replace_stride_with_dilation: Sequence[bool] = (False, False, True)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, perturbations=None):
+        """``perturbations``: optional dict {"layerN": array} added to that
+        stage's output. This is the hook-free LayerCAM mechanism: differentiate
+        w.r.t. a zero perturbation to get the gradient at that activation
+        (replaces the reference's register_full_backward_hook machinery,
+        ref LayerCAM.py:17-31) — the whole CAM path stays one jit.
+        """
+        dt = self.dtype
+        blocks = STAGE_BLOCKS[self.depth]
+        block_cls = Bottleneck if self.depth in BOTTLENECK_DEPTHS else BasicBlock
+        expansion = 4 if self.depth in BOTTLENECK_DEPTHS else 1
+
+        def width(c):
+            return max(8, int(c * self.width_multiplier))
+
+        x = _conv(width(64), 7, 2, 1, dt, "conv1")(x)
+        x = _norm(dt, "bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {"stem": x}
+        dilation = 1
+        in_ch = width(64)
+        for stage_idx, (num_blocks, planes_base) in enumerate(zip(blocks, (64, 128, 256, 512))):
+            planes = width(planes_base)
+            stride = 1 if stage_idx == 0 else 2
+            dilate = stage_idx > 0 and self.replace_stride_with_dilation[stage_idx - 1]
+            previous_dilation = dilation
+            if dilate:
+                dilation *= stride
+                stride = 1
+            out_ch = planes * expansion
+            for b in range(num_blocks):
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    dilation=previous_dilation if b == 0 else dilation,
+                    has_downsample=(b == 0 and (stride != 1 or in_ch != out_ch)),
+                    dtype=dt,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x, train=train)
+            in_ch = out_ch
+            if perturbations is not None and f"layer{stage_idx + 1}" in perturbations:
+                x = x + perturbations[f"layer{stage_idx + 1}"]
+            feats[f"layer{stage_idx + 1}"] = x
+
+        return feats
+
+    @property
+    def feature_channels(self):
+        expansion = 4 if self.depth in BOTTLENECK_DEPTHS else 1
+
+        def width(c):
+            return max(8, int(c * self.width_multiplier))
+
+        return {f"layer{i + 1}": width(c) * expansion for i, c in enumerate((64, 128, 256, 512))}
