@@ -1,0 +1,130 @@
+"""Training-step tests: DeepLabV3 shapes, fc-only learning, seg-loss descent,
+SPMD sharded step parity on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from weaklysuperviseddl_tpu.data import download_data
+from weaklysuperviseddl_tpu.data.loader import batches
+from weaklysuperviseddl_tpu.models.classifier import CamClassifier
+from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+from weaklysuperviseddl_tpu.parallel import make_mesh, shard_batch, batch_sharding
+from weaklysuperviseddl_tpu.parallel.mesh import replicate_tree
+from weaklysuperviseddl_tpu.train.classifier import (
+    make_fc_train_step,
+    split_frozen,
+    train_fc_only,
+    evaluate_classification,
+)
+from weaklysuperviseddl_tpu.train.segmentation import (
+    create_seg_state,
+    make_seg_train_step,
+    train_segmentation_model,
+)
+
+
+def test_deeplab_output_shape():
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3)), train=False,
+    )
+    logits = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert logits.shape == (2, 64, 64, 2)
+    # output stride 8 backbone: layer4 spatial = 64/8 = 8 (via dilation)
+    # implied by the resize working; train mode with dropout rng also runs:
+    out, _ = model.apply(
+        variables, jnp.zeros((2, 64, 64, 3)), train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 64, 64, 2)
+
+
+def test_fc_training_learns_synthetic():
+    """Synthetic classes are color-keyed, so fc-on-random-frozen-backbone must
+    reach well-above-chance train accuracy quickly."""
+    ds = download_data(None, split="trainval", synthetic_size=32, image_size=48, num_classes=4)
+    model = CamClassifier(num_classes=4, depth=18, width_multiplier=0.25)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3)))
+
+    logs = []
+    new_vars = train_fc_only(
+        model, variables,
+        train_loader_fn=lambda: batches(ds, 8, shuffle=True, seed=0, pad_to_full=True),
+        val_loader_fn=None,
+        epochs=6, lr=5e-2, num_classes=4, image_size=48,
+        log=logs.append,
+    )
+    acc, f1 = evaluate_classification(
+        model, new_vars, batches(ds, 8), num_classes=4, image_size=48, log=logs.append,
+    )
+    assert acc > 50.0, f"fc training failed to learn: acc={acc}, logs={logs}"
+    # frozen backbone untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(variables["params"]["backbone"])[0]),
+        np.asarray(jax.tree.leaves(new_vars["params"]["backbone"])[0]),
+    )
+
+
+def test_seg_training_loss_decreases():
+    ds = download_data(None, split="trainval", synthetic_size=8, image_size=48)
+    images = np.stack(ds.images)
+    masks = np.stack([(t == 1).astype(np.uint8) for t in ds.trimaps])
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=48, lr=1e-3)
+
+    losses = []
+    state, _ = train_segmentation_model(
+        model, state, tx, images, masks,
+        num_epochs=4, batch_size=4, seg_size=48,
+        log=lambda s: losses.append(s),
+    )
+    first = float(losses[0].split("Loss: ")[1])
+    last = float(losses[-1].split("Loss: ")[1])
+    assert last < first, f"no descent: {losses}"
+
+
+def test_seg_lovasz_loss_path_runs():
+    ds = download_data(None, split="trainval", synthetic_size=4, image_size=32)
+    images = np.stack(ds.images)
+    masks = np.stack([(t == 1).astype(np.uint8) for t in ds.trimaps])
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    state, loss = train_segmentation_model(
+        model, state, tx, images, masks, loss_fn="lovasz_softmax",
+        num_epochs=1, batch_size=4, seg_size=32, log=lambda s: None,
+    )
+    assert np.isfinite(loss)
+
+
+def test_sharded_fc_step_matches_single_device():
+    """The same jit'd step on an 8-device data mesh produces the same update."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=8, model=1)
+
+    model = CamClassifier(num_classes=4, depth=18, width_multiplier=0.25)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    frozen, fc = split_frozen(variables)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(fc)
+    step = make_fc_train_step(model, tx)
+
+    x = np.random.default_rng(0).uniform(0, 1, (16, 32, 32, 3)).astype(np.float32)
+    y = np.random.default_rng(1).integers(0, 4, 16).astype(np.int32)
+
+    fc1, _, loss1, corr1 = step(frozen, jax.tree.map(jnp.copy, fc),
+                                jax.tree.map(jnp.copy, opt_state), jnp.asarray(x), jnp.asarray(y))
+
+    xs, ys = shard_batch(mesh, x, y)
+    frozen_r = replicate_tree(mesh, frozen)
+    fc_r = replicate_tree(mesh, jax.tree.map(jnp.copy, fc))
+    opt_r = replicate_tree(mesh, jax.tree.map(jnp.copy, opt_state))
+    fc2, _, loss2, corr2 = step(frozen_r, fc_r, opt_r, xs, ys)
+
+    assert int(corr1) == int(corr2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(fc1), jax.tree.leaves(fc2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -82,10 +82,12 @@ def _load_pet_from_disk(root: str, split: str, limit: int | None = None) -> PetD
     return PetDataset(images, np.asarray(labels, np.int32), trimaps, split)
 
 
-def _synthetic_dataset(split: str, n: int, image_size: int, seed: int) -> PetDataset:
+def _synthetic_dataset(split: str, n: int, image_size: int, seed: int, num_classes: int) -> PetDataset:
     # distinct seeds per split so train/test differ
     split_seed = seed + {"trainval": 0, "test": 10_000}.get(split, 20_000)
-    images, labels, trimaps = synthetic_pet_arrays(n, image_size=image_size, seed=split_seed)
+    images, labels, trimaps = synthetic_pet_arrays(
+        n, image_size=image_size, seed=split_seed, num_classes=num_classes
+    )
     return PetDataset(
         [(images[i] * 255).astype(np.uint8) for i in range(n)],
         labels,
@@ -101,6 +103,7 @@ def download_data(
     image_size: int = 224,
     seed: int = 0,
     limit: int | None = None,
+    num_classes: int = 37,
 ) -> PetDataset:
     """Load the Pet dataset from disk, or synthesize one with the same contract.
 
@@ -111,7 +114,7 @@ def download_data(
     if _pet_root_valid(pth):
         return _load_pet_from_disk(pth, split, limit=limit)
     n = synthetic_size if limit is None else min(limit, synthetic_size)
-    return _synthetic_dataset(split, n, image_size, seed)
+    return _synthetic_dataset(split, n, image_size, seed, num_classes)
 
 
 def load_split_data(

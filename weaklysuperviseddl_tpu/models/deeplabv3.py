@@ -1,0 +1,93 @@
+"""DeepLabV3-ResNet50 in flax (NHWC) — the segmentation model.
+
+Reference uses torchvision's ``deeplabv3_resnet50`` with the head swapped to a
+2-class 1×1 conv (ref TraditionalModel/SegmentationModel.py:86-88,
+FullySupervisedModel/SupervisedModel.py:14). Architecture reproduced:
+
+  * ResNet-50 backbone at output-stride 8 (layer3+layer4 dilated — torchvision
+    passes replace_stride_with_dilation=[False, True, True])
+  * ASPP over layer4: 1×1 conv + three 3×3 atrous convs (rates 12/24/36) +
+    global-average-pool branch, each → 256ch BN ReLU; concat → 1×1 project →
+    BN → ReLU → Dropout(0.5)
+  * head: 3×3 conv 256 → BN → ReLU → 1×1 conv to num_classes
+  * bilinear upsample of logits to input resolution (align_corners=False)
+
+All convs are MXU-shaped (channels multiples of 128 at width 1.0); the whole
+train step jits into one program (train/segmentation.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from weaklysuperviseddl_tpu.models.resnet import ResNetBackbone, _conv, _norm
+from weaklysuperviseddl_tpu.ops.resize import resize_bilinear
+
+
+class ASPP(nn.Module):
+    features: int = 256
+    rates: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        branches = []
+
+        b = _conv(self.features, 1, 1, 1, dt, "conv1x1")(x)
+        b = _norm(dt, "bn1x1")(b, use_running_average=not train)
+        branches.append(nn.relu(b))
+
+        for i, rate in enumerate(self.rates):
+            b = _conv(self.features, 3, 1, rate, dt, f"atrous{i}")(x)
+            b = _norm(dt, f"atrous_bn{i}")(b, use_running_average=not train)
+            branches.append(nn.relu(b))
+
+        # image-pooling branch: global mean → 1×1 conv → BN → relu → broadcast
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        p = _conv(self.features, 1, 1, 1, dt, "pool_conv")(pooled)
+        p = _norm(dt, "pool_bn")(p, use_running_average=not train)
+        p = nn.relu(p)
+        branches.append(jnp.broadcast_to(p, x.shape[:3] + (self.features,)))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = _conv(self.features, 1, 1, 1, dt, "project")(y)
+        y = _norm(dt, "project_bn")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
+        return y
+
+
+class DeepLabV3(nn.Module):
+    num_classes: int = 2
+    backbone_depth: int = 50
+    width_multiplier: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        H, W = x.shape[1], x.shape[2]
+        feats = ResNetBackbone(
+            depth=self.backbone_depth,
+            width_multiplier=self.width_multiplier,
+            replace_stride_with_dilation=(False, True, True),  # output stride 8
+            dtype=dt,
+            name="backbone",
+        )(x, train=train)
+
+        head_ch = max(16, int(256 * self.width_multiplier))
+        y = ASPP(features=head_ch, dtype=dt, name="aspp")(feats["layer4"], train=train)
+        y = _conv(head_ch, 3, 1, 1, dt, "head_conv")(y)
+        y = _norm(dt, "head_bn")(y, use_running_average=not train)
+        y = nn.relu(y)
+        # classifier[4] in the reference: 1×1 conv to num_classes
+        logits = nn.Conv(
+            self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier"
+        )(y)
+        logits = resize_bilinear(logits.astype(jnp.float32), (H, W))
+        return logits  # [B,H,W,num_classes]

@@ -1,0 +1,6 @@
+from weaklysuperviseddl_tpu.pipelines.weakly import run_weakly_supervised  # noqa: F401
+from weaklysuperviseddl_tpu.pipelines.supervised import run_supervised_training  # noqa: F401
+from weaklysuperviseddl_tpu.pipelines.ablations import (  # noqa: F401
+    run_ablation,
+    run_ablation_experiment,
+)

@@ -1,0 +1,115 @@
+"""The north-star pipeline: classify → LayerCAM → pseudo-mask → segment.
+
+Reference call stack: SURVEY.md §3.1/§3.2 (the script body of
+AlternatingDirectionCutLoss.py:468-821 and the modular Abalations path).
+Every stage here is device-resident and batched; stage boundaries exchange
+arrays (MaskStore in-memory fast path) instead of PNG directories, with
+optional persistence keeping the reference's file contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weaklysuperviseddl_tpu.config import ExperimentConfig
+from weaklysuperviseddl_tpu.data import download_data, load_split_data
+from weaklysuperviseddl_tpu.data.loader import batches
+from weaklysuperviseddl_tpu.masks.pseudo import generate_pseudo_masks
+from weaklysuperviseddl_tpu.models.classifier import CamClassifier
+from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+from weaklysuperviseddl_tpu.train.classifier import train_fc_only
+from weaklysuperviseddl_tpu.train.segmentation import (
+    create_seg_state,
+    evaluate_segmentation,
+    train_segmentation_model,
+)
+
+
+@dataclass
+class WeaklySupervisedResult:
+    classifier_variables: Any
+    seg_state: Any
+    mask_store: Any
+    metrics: dict = field(default_factory=dict)
+
+
+def build_classifier(cfg: ExperimentConfig, rng=None):
+    model = CamClassifier(
+        num_classes=cfg.data.num_classes,
+        depth=cfg.classifier.depth,
+        width_multiplier=cfg.classifier.width_multiplier,
+        dilate_layer4=cfg.classifier.dilate_layer4,
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    variables = model.init(rng, jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3)))
+    return model, variables
+
+
+def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedResult:
+    """Full weakly-supervised cycle at the configured scale. Returns trained
+    models, the pseudo-mask store, and the eval metrics dict."""
+    d = cfg.data
+    train_ds, val_ds = load_split_data(
+        d.root, train_ratio=d.train_ratio, seed=d.seed,
+        synthetic_size=d.synthetic_size, image_size=d.image_size,
+        num_classes=d.num_classes,
+    )
+    test_ds = download_data(
+        d.root, split="test", synthetic_size=max(16, d.synthetic_size // 4),
+        image_size=d.image_size, seed=d.seed, num_classes=d.num_classes,
+    )
+
+    # --- stage 1: frozen-backbone classifier ---------------------------------
+    model, variables = build_classifier(cfg)
+    log("Starting training...")
+    variables = train_fc_only(
+        model, variables,
+        train_loader_fn=lambda: batches(train_ds, d.batch_size, shuffle=True,
+                                        seed=d.seed, pad_to_full=True),
+        val_loader_fn=lambda: batches(val_ds, d.eval_batch_size),
+        epochs=cfg.classifier.epochs, lr=cfg.classifier.lr,
+        num_classes=d.num_classes, image_size=d.image_size,
+        interpolation=d.interpolation, log=log,
+    )
+    log(" Classifier trained.")
+
+    # --- stage 2+3: LayerCAM → pseudo-masks ----------------------------------
+    store = generate_pseudo_masks(
+        batches(train_ds, d.batch_size, pad_to_full=True),
+        model, variables,
+        cam_thresh=cfg.mask.cam_thresh, alpha=cfg.cam.alpha,
+        keep_largest_masks=cfg.mask.keep_largest,
+        target_layers=cfg.cam.target_layers, alpha_mode=cfg.cam.alpha_mode,
+        image_size=d.image_size, max_images=cfg.mask.max_images,
+        store_dir=cfg.mask.store_dir,
+    )
+    log(f"Pseudo masks generated: {len(store)}")
+
+    # --- stage 4: DeepLabV3 on pseudo-masks ----------------------------------
+    seg_model = DeepLabV3(
+        num_classes=cfg.seg.num_classes,
+        backbone_depth=cfg.seg.backbone_depth,
+        width_multiplier=cfg.seg.width_multiplier,
+    )
+    seg_state, tx = create_seg_state(
+        seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size, lr=cfg.seg.lr
+    )
+    images, masks, _ = store.as_arrays()
+    seg_state, final_loss = train_segmentation_model(
+        seg_model, seg_state, tx, images, masks,
+        loss_fn=cfg.seg.loss_fn, num_epochs=cfg.seg.epochs,
+        batch_size=cfg.seg.batch_size, seg_size=d.seg_size, seed=cfg.seed, log=log,
+    )
+
+    # --- stage 5: eval vs true trimaps ---------------------------------------
+    avg_iou, avg_acc = evaluate_segmentation(
+        seg_model, seg_state, batches(test_ds, d.eval_batch_size),
+        seg_size=d.seg_size, eval_size=d.image_size, log=log,
+    )
+    metrics = {"iou": avg_iou, "acc": avg_acc, "final_loss": final_loss}
+    return WeaklySupervisedResult(variables, seg_state, store, metrics)
