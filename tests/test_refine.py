@@ -1,0 +1,114 @@
+"""Alternating-direction refinement parity: the scan/vmap JAX loop vs a torch
+golden reproducing the reference's per-image Adam-on-X optimisation
+(AlternatingDirectionCutLoss.py:709-767 semantics, fresh implementation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from weaklysuperviseddl_tpu.train.refine import refine_from_soft_predictions
+
+from test_losses import torch_ncut
+
+
+def torch_refine(S_nchw, image_nchw, mask_hw, lambda_boundary, threshold, lr,
+                 num_steps, sigma_color=0.1, window_size=5):
+    """Golden: single-image refinement with the reference's exact update rule."""
+    num_classes = S_nchw.shape[1]
+    X = F.one_hot(mask_hw.long(), num_classes).permute(2, 0, 1).float().unsqueeze(0)
+    X = X.requires_grad_(True)
+    opt = torch.optim.Adam([X], lr=lr)
+    total = 0.0
+    for _ in range(num_steps):
+        opt.zero_grad()
+        Xn = F.softmax(X, dim=1)
+        loss_kl = F.kl_div((Xn + 1e-8).log(), S_nchw, reduction="batchmean")
+        # reference feeds softmaxed X into LocalNormalizedCutLoss (which
+        # softmaxes again): reproduce by calling the ncut golden on Xn
+        loss_b = torch_ncut(Xn, image_nchw, sigma_color=sigma_color, window=window_size)
+        lam = lambda_boundary * (loss_kl.item() / (loss_b.item() + 1e-6))
+        loss = loss_kl + lam * loss_b
+        loss.backward()
+        opt.step()
+        total += loss.item()
+    Xf = F.softmax(X, dim=1)
+    return (Xf[0, 1] > threshold).float().detach().numpy(), total
+
+
+def test_refinement_matches_torch_golden():
+    rng = np.random.default_rng(0)
+    H = W = 16
+    S = rng.uniform(0.1, 1, (2, H, W, 2)).astype(np.float32)
+    S = S / S.sum(-1, keepdims=True)
+    images = rng.uniform(-1, 1, (2, H, W, 3)).astype(np.float32)
+    masks = (rng.uniform(0, 1, (2, H, W)) > 0.5).astype(np.int32)
+
+    got, got_loss = refine_from_soft_predictions(
+        jnp.asarray(S), jnp.asarray(images), jnp.asarray(masks),
+        lambda_boundary=0.1, threshold=0.3, lr=1e-2, num_steps=10,
+        sigma_color=0.1, window_size=5, loss="ncut",
+    )
+    got = np.asarray(got)
+
+    ref_losses = []
+    for i in range(2):
+        ref, total = torch_refine(
+            torch.from_numpy(S[i]).permute(2, 0, 1).unsqueeze(0),
+            torch.from_numpy(images[i]).permute(2, 0, 1).unsqueeze(0),
+            torch.from_numpy(masks[i]),
+            lambda_boundary=0.1, threshold=0.3, lr=1e-2, num_steps=10,
+        )
+        ref_losses.append(total)
+        # binary masks after 10 Adam steps: tolerate a handful of pixels
+        # flipping due to fp32 order-of-ops, demand >99% agreement
+        agree = (got[i] == ref).mean()
+        assert agree > 0.99, f"image {i}: only {agree:.3f} agreement"
+
+    np.testing.assert_allclose(float(got_loss), np.mean(ref_losses), rtol=1e-3)
+
+
+def test_refinement_moves_toward_predictions():
+    """With λ=0 the KL term should pull X toward S's argmax."""
+    rng = np.random.default_rng(1)
+    H = W = 12
+    target = (rng.uniform(0, 1, (1, H, W)) > 0.5).astype(np.int32)
+    S = np.stack([1 - target, target], axis=-1).astype(np.float32) * 0.98 + 0.01
+    images = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+    wrong = 1 - target  # start from the inverted mask
+
+    refined, _ = refine_from_soft_predictions(
+        jnp.asarray(S), jnp.asarray(images), jnp.asarray(wrong),
+        lambda_boundary=0.0, threshold=0.5, lr=0.5, num_steps=60,
+    )
+    agree = (np.asarray(refined) == target).mean()
+    assert agree > 0.95, f"refinement failed to follow S: {agree}"
+
+
+def test_alternating_loop_smoke():
+    from weaklysuperviseddl_tpu.config import smoke_config
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.train.alternating import run_alternating_training
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    cfg = smoke_config()
+    rng = np.random.default_rng(2)
+    store = MaskStore()
+    for i in range(4):
+        img = (rng.uniform(0, 1, (cfg.data.seg_size, cfg.data.seg_size, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((cfg.data.seg_size, cfg.data.seg_size), np.uint8)
+        mask[8:40, 8:40] = 1
+        store.put(f"{i:04d}", img, mask)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=cfg.data.seg_size)
+    logs = []
+    state, store = run_alternating_training(
+        model, state, tx, store, cfg,
+        eval_fn=lambda st: (0.5, 0.5), log=logs.append,
+    )
+    assert any("completed" in s for s in logs)
+    _, masks, _ = store.as_arrays()
+    assert set(np.unique(masks)).issubset({0, 1})
