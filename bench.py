@@ -1,0 +1,141 @@
+"""Benchmark: images/sec/chip on the full classify→LayerCAM→pseudo-mask→segment
+training cycle (the BASELINE.json headline metric).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measurement notes (both matter on this environment):
+  * the axon remote relay has a ~25ms dispatch+readback latency floor and
+    block_until_ready does not reliably await completion — so each stage runs
+    ITERS repetitions *inside one jit* (lax.scan) with a single forced scalar
+    readback, making per-iteration cost dominated by device compute;
+  * vs_baseline compares against the PyTorch-CPU reference measured by
+    scripts/measure_torch_baseline.py (BASELINE_TORCH.json; the reference repo
+    publishes no numbers, see BASELINE.md). Cycle rate combines the per-image
+    stage costs in series: 1 / (1/cam_rate + 1/seg_rate).
+
+Env knobs: WSDL_BENCH_CAM_BATCH (32), WSDL_BENCH_SEG_BATCH (16),
+WSDL_BENCH_ITERS (20), WSDL_BENCH_SMALL=1 for a tiny CI-scale run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from weaklysuperviseddl_tpu.masks.pseudo import cam_to_mask
+    from weaklysuperviseddl_tpu.cam.layercam import layercam
+    from weaklysuperviseddl_tpu.models.classifier import CamClassifier
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state,
+        make_seg_train_step,
+    )
+
+    small = os.environ.get("WSDL_BENCH_SMALL") == "1"
+    cam_batch = int(os.environ.get("WSDL_BENCH_CAM_BATCH", 4 if small else 32))
+    seg_batch = int(os.environ.get("WSDL_BENCH_SEG_BATCH", 2 if small else 16))
+    iters = int(os.environ.get("WSDL_BENCH_ITERS", 2 if small else 20))
+    depth = 18 if small else 50
+    width = 0.25 if small else 1.0
+    cam_size = 64 if small else 224
+    seg_size = 64 if small else 256
+
+    rng = np.random.default_rng(0)
+    rngkey = jax.random.PRNGKey(0)
+
+    # --- stage A: LayerCAM + pseudo-mask gen ---------------------------------
+    clf = CamClassifier(num_classes=37, depth=depth, width_multiplier=width)
+    clf_vars = jax.jit(clf.init)(rngkey, jnp.zeros((1, cam_size, cam_size, 3)))
+    images = jnp.asarray(rng.uniform(0, 1, (cam_batch, cam_size, cam_size, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 37, cam_batch).astype(np.int32))
+
+    @jax.jit
+    def cam_stage_n(images, labels):
+        # iters repetitions inside one program; tiny input drift each step so
+        # nothing can be loop-hoisted as a constant
+        def body(carry, i):
+            x = images + (i.astype(jnp.float32) * 1e-6)
+            cam, _ = layercam(
+                clf, clf_vars, x, labels,
+                target_layers=("layer3", "layer4"), alpha=1.0,
+                alpha_mode="per_layer", output_size=cam_size,
+            )
+            masks = cam_to_mask(cam, 0.3, True)
+            return carry + jnp.sum(masks.astype(jnp.int32)), None
+        total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return total
+
+    float(cam_stage_n(images, labels))  # compile
+    t0 = time.perf_counter()
+    float(cam_stage_n(images, labels))
+    cam_rate = iters * cam_batch / (time.perf_counter() - t0)
+
+    # --- stage B: DeepLabV3 train step ---------------------------------------
+    seg = DeepLabV3(num_classes=2, backbone_depth=depth, width_multiplier=width)
+    state, tx = create_seg_state(seg, rngkey, input_size=seg_size, lr=1e-4)
+    step = make_seg_train_step(seg, tx)
+    seg_images = jnp.asarray(
+        rng.uniform(-2, 2, (seg_batch, seg_size, seg_size, 3)).astype(np.float32)
+    )
+    seg_masks = jnp.asarray(rng.integers(0, 2, (seg_batch, seg_size, seg_size)).astype(np.int32))
+    valid = jnp.ones((seg_batch,), bool)
+
+    @jax.jit
+    def seg_stage_n(params, stats, opt):
+        def body(carry, i):
+            params, stats, opt = carry
+            x = seg_images + (i.astype(jnp.float32) * 1e-6)
+            params, stats, opt, loss = step(
+                params, stats, opt, x, seg_masks, valid, jax.random.fold_in(rngkey, i)
+            )
+            return (params, stats, opt), loss
+        (params, stats, opt), losses = jax.lax.scan(
+            body, (params, stats, opt), jnp.arange(iters)
+        )
+        return jnp.sum(losses)
+
+    float(seg_stage_n(state.params, state.batch_stats, state.opt_state))  # compile
+    t0 = time.perf_counter()
+    float(seg_stage_n(state.params, state.batch_stats, state.opt_state))
+    seg_rate = iters * seg_batch / (time.perf_counter() - t0)
+
+    cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
+    if os.path.exists(baseline_path) and not small:
+        with open(baseline_path) as f:
+            base = json.load(f)
+        vs_baseline = cycle / base["torch_cpu_cycle_img_per_s"]
+
+    result = {
+        "metric": "weakly-supervised cycle throughput (LayerCAM+mask gen, DeepLabV3 train step)",
+        "value": round(cycle, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        "detail": {
+            "cam_img_per_s": round(cam_rate, 2),
+            "seg_train_img_per_s": round(seg_rate, 2),
+            "cam_batch": cam_batch,
+            "seg_batch": seg_batch,
+            "iters": iters,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Measure the PyTorch-CPU reference baseline for bench.py.
+
+The reference publishes no numbers (BASELINE.md), so we measure the repaired
+reference pipeline's hot path ourselves on CPU, per BASELINE.json: per-image
+hook-based LayerCAM generation (the reference is strictly batch-1,
+LayerCAM.py:38) on a ResNet-50 with dilated layer4, plus a DeepLabV3-style
+(ResNet-50 os=8 + ASPP) train step at 256². torchvision is unavailable here,
+so architecture-equivalent torch modules are constructed locally (same layer
+shapes → same FLOPs).
+
+Writes BASELINE_TORCH.json; bench.py computes vs_baseline against it.
+
+Run: python scripts/measure_torch_baseline.py [num_images]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+from torch_ref import TResNetCAM  # noqa: E402
+
+
+class TorchASPPHead(nn.Module):
+    """DeepLabV3 head with torchvision's shapes (ASPP rates 12/24/36, 256ch)."""
+
+    def __init__(self, in_ch=2048, num_classes=2):
+        super().__init__()
+        def branch(k, d):
+            pad = (k // 2) * d
+            return nn.Sequential(
+                nn.Conv2d(in_ch, 256, k, padding=pad, dilation=d, bias=False),
+                nn.BatchNorm2d(256), nn.ReLU(),
+            )
+        self.b0 = branch(1, 1)
+        self.b1 = branch(3, 12)
+        self.b2 = branch(3, 24)
+        self.b3 = branch(3, 36)
+        self.pool = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(in_ch, 256, 1, bias=False),
+            nn.BatchNorm2d(256), nn.ReLU(),
+        )
+        self.project = nn.Sequential(
+            nn.Conv2d(5 * 256, 256, 1, bias=False), nn.BatchNorm2d(256), nn.ReLU(),
+            nn.Dropout(0.5),
+        )
+        self.head = nn.Sequential(
+            nn.Conv2d(256, 256, 3, padding=1, bias=False), nn.BatchNorm2d(256), nn.ReLU(),
+            nn.Conv2d(256, num_classes, 1),
+        )
+
+    def forward(self, x, out_size):
+        p = self.pool(x)
+        p = F.interpolate(p, size=x.shape[-2:], mode="bilinear", align_corners=False)
+        y = torch.cat([self.b0(x), self.b1(x), self.b2(x), self.b3(x), p], dim=1)
+        y = self.head(self.project(y))
+        return F.interpolate(y, size=out_size, mode="bilinear", align_corners=False)
+
+
+def measure_cam(n_images: int):
+    """Per-image hook LayerCAM (reference protocol: batch 1, layers 3+4)."""
+    torch.manual_seed(0)
+    model = TResNetCAM(depth=50, width=1.0, num_classes=37).eval()
+    acts, grads = {}, {}
+    for name in ("layer3", "layer4"):
+        layer = getattr(model, name)
+        layer.register_forward_hook(lambda m, i, o, n=name: acts.__setitem__(n, o))
+        layer.register_full_backward_hook(lambda m, gi, go, n=name: grads.__setitem__(n, go[0]))
+
+    rng = np.random.default_rng(0)
+
+    def one(img):
+        img = img.requires_grad_()
+        logits, _ = model(img)
+        score = logits[0, int(logits.argmax())]
+        model.zero_grad()
+        score.backward()
+        cams = []
+        for name in ("layer3", "layer4"):
+            with torch.no_grad():
+                cam = F.relu(grads[name] * acts[name]).sum(1)
+                cam = F.relu(cam)
+                cam = cam - cam.min()
+                cam = cam / (cam.max() + 1e-8)
+                cams.append(F.interpolate(cam.unsqueeze(1), size=(224, 224),
+                                          mode="bilinear", align_corners=False))
+        final = (sum(cams) / len(cams)).clamp(min=0) ** 0.5
+        # threshold + binarize (PsuedoMasks.py:60-62); largest-CC omitted
+        # (scipy/skimage cost is small vs the backbone) — favours the baseline
+        return (final > 0.3).to(torch.uint8)
+
+    one(torch.from_numpy(rng.uniform(0, 1, (1, 3, 224, 224)).astype(np.float32)))  # warm
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        one(torch.from_numpy(rng.uniform(0, 1, (1, 3, 224, 224)).astype(np.float32)))
+    dt = time.perf_counter() - t0
+    return n_images / dt
+
+
+def measure_seg(n_images: int, batch: int = 4):
+    """DeepLabV3 train step at 256² (reference batch_size=4, SegModel.py:59)."""
+    torch.manual_seed(0)
+    backbone = TResNetCAM(depth=50, width=1.0, num_classes=2,
+                          replace_stride_with_dilation=(False, True, True))
+    head = TorchASPPHead(2048, 2)
+    params = list(backbone.parameters()) + list(head.parameters())
+    opt = torch.optim.Adam(params, lr=1e-4)
+    ce = nn.CrossEntropyLoss()
+    rng = np.random.default_rng(1)
+
+    def step():
+        x = torch.from_numpy(rng.uniform(0, 1, (batch, 3, 256, 256)).astype(np.float32))
+        m = torch.from_numpy(rng.integers(0, 2, (batch, 256, 256))).long()
+        backbone.train(); head.train()
+        logits, feats = backbone(x)
+        out = head(feats[-1], (256, 256))
+        loss = ce(out, m)
+        opt.zero_grad(); loss.backward(); opt.step()
+
+    step()  # warm
+    iters = max(1, n_images // batch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    torch.set_num_threads(os.cpu_count() or 1)
+    cam_rate = measure_cam(n)
+    seg_rate = measure_seg(n)
+    cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
+    out = {
+        "torch_cpu_cam_img_per_s": cam_rate,
+        "torch_cpu_seg_train_img_per_s": seg_rate,
+        "torch_cpu_cycle_img_per_s": cycle,
+        "n_images": n,
+        "threads": torch.get_num_threads(),
+        "torch_version": torch.__version__,
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_TORCH.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,8 @@ def refine_store(
             lambda_boundary=cfg.lambda_boundary, threshold=cfg.threshold,
             lr=cfg.lr, num_steps=cfg.num_steps, sigma_color=cfg.sigma_color,
             sigma_space=cfg.sigma_space, window_size=cfg.window_size, loss=cfg.loss,
+            # cfg True → auto (Pallas on TPU backends only); False → force XLA
+            use_pallas=None if cfg.use_pallas else False,
         )
         refined_np = np.asarray(refined)
         for j in range(num_valid):

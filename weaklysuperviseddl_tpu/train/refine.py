@@ -41,11 +41,15 @@ def _kl_batchmean_single(x_probs, s_probs):
     return jnp.sum(p_log_p - s_probs * jnp.log(x_probs + 1e-8))
 
 
+def _use_pallas_default():
+    return jax.default_backend() == "tpu"
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "lambda_boundary", "threshold", "lr", "num_steps",
-        "sigma_color", "sigma_space", "window_size", "loss",
+        "sigma_color", "sigma_space", "window_size", "loss", "use_pallas",
     ),
 )
 def refine_from_soft_predictions(
@@ -60,19 +64,32 @@ def refine_from_soft_predictions(
     sigma_space: float = 5.0,
     window_size: int = 5,
     loss: str = "ncut",
+    use_pallas: bool | None = None,
 ):
-    """Batched refinement core. Returns (refined uint8 [B,H,W], mean total loss)."""
+    """Batched refinement core. Returns (refined uint8 [B,H,W], mean total loss).
+
+    use_pallas: route the window term through the fused Pallas kernels
+    (ops/pallas_window.py); None → auto (TPU backend only)."""
     num_classes = S.shape[-1]
     tx = optax.adam(lr)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
+    from weaklysuperviseddl_tpu.ops.pallas_window import (
+        pallas_boundary_loss,
+        pallas_local_normalized_cut_loss,
+    )
 
     def window_term(x_probs, image):
         if loss == "boundary":
-            return boundary_loss(
+            fn = pallas_boundary_loss if use_pallas else boundary_loss
+            return fn(
                 x_probs[None], image[None],
                 sigma_color=sigma_color, sigma_space=sigma_space, window_size=window_size,
             )
         # reference quirk: LocalNormalizedCutLoss softmaxes again internally
-        return local_normalized_cut_loss(
+        fn = pallas_local_normalized_cut_loss if use_pallas else local_normalized_cut_loss
+        return fn(
             x_probs[None], image[None],
             sigma_color=sigma_color, window_size=window_size,
         )
