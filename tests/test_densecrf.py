@@ -1,0 +1,98 @@
+"""Dense-CRF parity: C++ brute-force golden (the mathematical definition) vs
+C++ permutohedral lattice vs the JAX bilateral-grid device path, plus the
+native connected-components twin vs scipy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import ndimage
+
+from weaklysuperviseddl_tpu import native
+from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf, densecrf_inference
+
+
+def make_case(seed=0, H=24, W=24, noise=0.2):
+    """Two-color image with a noisy CAM roughly matching the left half."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, : W // 2] = [200, 60, 60]
+    img[:, W // 2 :] = [40, 40, 180]
+    img = np.clip(img.astype(np.int32) + rng.integers(-15, 15, img.shape), 0, 255).astype(np.uint8)
+
+    cam = np.zeros((H, W), np.float32)
+    cam[:, : W // 2] = 0.75
+    cam[:, W // 2 :] = 0.25
+    cam += rng.uniform(-noise, noise, cam.shape).astype(np.float32)
+    cam = np.clip(cam, 0.02, 0.98)
+    probs = np.stack([1 - cam, cam], axis=-1)
+    unary = -np.log(probs)
+    return img, cam, probs, unary
+
+
+PARAMS = dict(gauss_sxy=1.0, gauss_compat=2.0, bilat_sxy=6.0, bilat_srgb=20.0,
+              bilat_compat=10.0, n_iters=5)
+
+
+def test_lattice_matches_brute_force():
+    img, _, _, unary = make_case()
+    q_exact = native.densecrf(unary, img, exact=True, **{k: v for k, v in PARAMS.items()
+                                                         if k != "n_iters"}, n_iters=5)
+    q_lattice = native.densecrf(unary, img, exact=False, **{k: v for k, v in PARAMS.items()
+                                                            if k != "n_iters"}, n_iters=5)
+    mae = np.abs(q_exact - q_lattice).mean()
+    agree = (q_exact.argmax(-1) == q_lattice.argmax(-1)).mean()
+    assert mae < 0.02, mae
+    assert agree > 0.99, agree
+
+
+def test_jax_grid_matches_brute_force():
+    img, _, probs, unary = make_case(1)
+    q_exact = native.densecrf(unary, img, exact=True, **PARAMS)
+    q_jax = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None], **PARAMS))[0]
+    mae = np.abs(q_exact - q_jax).mean()
+    agree = (q_exact.argmax(-1) == q_jax.argmax(-1)).mean()
+    assert mae < 0.05, mae
+    assert agree > 0.97, agree
+
+
+def test_crf_cleans_noise_and_respects_edges():
+    """The CRF must denoise the CAM into masks aligned with the color edge."""
+    img, cam, _, _ = make_case(2, noise=0.45)  # raw threshold must make mistakes
+    refined = np.asarray(apply_dense_crf(
+        jnp.asarray(img.astype(np.float32))[None], jnp.asarray(cam)[None],
+        gauss_sxy=1.0, gauss_compat=2.0, bilat_sxy=6.0, bilat_srgb=20.0,
+        bilat_compat=10.0, n_iters=5))[0]
+    H, W = cam.shape
+    target = np.zeros((H, W), np.uint8)
+    target[:, : W // 2] = 1
+    raw = (cam > 0.5).astype(np.uint8)
+    assert (refined == target).mean() > (raw == target).mean()
+    assert (refined == target).mean() > 0.98
+
+
+def test_native_cc_matches_scipy():
+    rng = np.random.default_rng(3)
+    field = ndimage.gaussian_filter(rng.standard_normal((40, 40)), 3.0)
+    mask = (field > np.quantile(field, 0.6)).astype(np.uint8)
+    got = native.keep_largest(mask)
+    labeled, n = ndimage.label(mask, structure=np.ones((3, 3), np.int32))
+    counts = np.bincount(labeled.ravel())
+    counts[0] = 0
+    ref = (labeled == counts.argmax()).astype(np.uint8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_native_cc_matches_device_cc():
+    from weaklysuperviseddl_tpu.masks.components import keep_largest as device_keep
+    rng = np.random.default_rng(4)
+    field = ndimage.gaussian_filter(rng.standard_normal((32, 32)), 2.5)
+    mask = (field > np.quantile(field, 0.65)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.keep_largest(mask), np.asarray(device_keep(jnp.asarray(mask)))
+    )
+
+
+def test_native_cc_empty_passthrough():
+    empty = np.zeros((8, 8), np.uint8)
+    np.testing.assert_array_equal(native.keep_largest(empty), empty)

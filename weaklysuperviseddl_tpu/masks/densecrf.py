@@ -1,0 +1,190 @@
+"""On-device dense-CRF mean-field inference.
+
+TPU equivalent of the reference's pydensecrf call
+(``apply_dense_crf``, AlternatingDirectionCutLoss.py:183-204: 2-label CRF,
+unary from [1−cam, cam], Gaussian sxy=1/compat=2 + bilateral sxy=50/srgb=5/
+compat=10, 5 mean-field iterations, argmax).
+
+Message-passing semantics are shared EXACTLY with the C++ native paths
+(native/wsdl_native.cpp): symmetric kernel normalization
+k'(x,y)=k(x,y)/√(n(x)n(y)), self-included messages m = K'Q (scale-invariant,
+so each path's filter may carry an arbitrary constant scale), Potts update
+Q ← softmax(−U + Σ_k w_k·m_k). The filters differ only in approximation:
+
+  * Gaussian (small σ_xy): exact truncated separable convolution.
+  * Bilateral (σ_xy≈50, σ_rgb≈5): bilateral grid (Chen et al.) — multilinear
+    splat of (Q, 1) into a 5-D grid with σ-sized cells, [1,2,1] blur along
+    each grid axis, multilinear slice. The C++ permutohedral lattice plays
+    the same role on the host; the O(N²) brute force is the test golden.
+
+Everything jits; batch handled by lax.map over images (grids are large).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+def _gaussian_filter(values, sxy):
+    """Truncated separable spatial Gaussian, σ=sxy; values [H,W,C]."""
+    radius = max(1, int(3 * sxy))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sxy) ** 2)
+
+    def conv1d(v, axis):
+        v = jnp.moveaxis(v, axis, -1)  # [..., N]
+        pad = [(0, 0)] * (v.ndim - 1) + [(radius, radius)]
+        vp = jnp.pad(v, pad)
+        out = jnp.zeros_like(v)
+        for i in range(2 * radius + 1):
+            out = out + k[i] * jax.lax.dynamic_slice_in_dim(vp, i, v.shape[-1], axis=-1)
+        return jnp.moveaxis(out, -1, axis)
+
+    return conv1d(conv1d(values, 0), 1)
+
+
+def _bilateral_grid_filter(values, image, sxy, srgb):
+    """Bilateral-grid Gaussian filter.
+
+    values [H,W,C]; image [H,W,3] in [0,255] float. Returns [H,W,C] ≈ s·K(values)
+    for an arbitrary constant s (cancelled by the symmetric normalization).
+    """
+    H, W, C = values.shape
+    # grid coordinates (offset +1 leaves a splat margin on every side)
+    fy = jnp.arange(H, dtype=jnp.float32)[:, None] / sxy + 1.0
+    fx = jnp.arange(W, dtype=jnp.float32)[None, :] / sxy + 1.0
+    fy = jnp.broadcast_to(fy, (H, W))
+    fx = jnp.broadcast_to(fx, (H, W))
+    fc = image / srgb + 1.0                                   # [H,W,3]
+    feats = jnp.stack([fy, fx, fc[..., 0], fc[..., 1], fc[..., 2]], axis=-1)  # [H,W,5]
+
+    sizes = (
+        int((H - 1) // sxy) + 3,
+        int((W - 1) // sxy) + 3,
+        int(255.0 // srgb) + 3,
+        int(255.0 // srgb) + 3,
+        int(255.0 // srgb) + 3,
+    )
+    strides = []
+    total = 1
+    for s in reversed(sizes):
+        strides.append(total)
+        total *= s
+    strides = tuple(reversed(strides))
+
+    flat = feats.reshape(-1, 5)
+    lo = jnp.floor(flat).astype(jnp.int32)                    # [N,5]
+    frac = flat - lo                                          # [N,5]
+    vals = values.reshape(-1, C)
+
+    # splat: 2^5 corners, multilinear weights
+    grid = jnp.zeros((total, C), jnp.float32)
+    for corner in range(32):
+        bits = [(corner >> b) & 1 for b in range(5)]
+        idx = jnp.zeros(flat.shape[0], jnp.int32)
+        w = jnp.ones(flat.shape[0], jnp.float32)
+        for d in range(5):
+            cd = lo[:, d] + bits[d]
+            idx = idx + cd * strides[d]
+            w = w * jnp.where(bits[d] == 1, frac[:, d], 1.0 - frac[:, d])
+        grid = grid.at[idx].add(vals * w[:, None])
+
+    # blur [1,2,1] along each grid axis
+    g = grid.reshape(sizes + (C,))
+    for d in range(5):
+        up = jnp.roll(g, 1, axis=d)
+        down = jnp.roll(g, -1, axis=d)
+        # zero the wrapped rows (roll is circular; grid margins are empty so
+        # wraps only matter if splat mass sits at the border — margins prevent it)
+        g = 2.0 * g + up + down
+    grid = g.reshape(total, C)
+
+    # slice
+    out = jnp.zeros((flat.shape[0], C), jnp.float32)
+    for corner in range(32):
+        bits = [(corner >> b) & 1 for b in range(5)]
+        idx = jnp.zeros(flat.shape[0], jnp.int32)
+        w = jnp.ones(flat.shape[0], jnp.float32)
+        for d in range(5):
+            cd = lo[:, d] + bits[d]
+            idx = idx + cd * strides[d]
+            w = w * jnp.where(bits[d] == 1, frac[:, d], 1.0 - frac[:, d])
+        out = out + grid[idx] * w[:, None]
+    return out.reshape(H, W, C)
+
+
+def _sym_message(filter_fn, Q):
+    """Symmetric-normalized self-included message m = (1/√n)·K(Q/√n)."""
+    ones = jnp.ones(Q.shape[:-1] + (1,), jnp.float32)
+    n = jnp.clip(filter_fn(ones), 1e-20, None)
+    inv_sqrt = jax.lax.rsqrt(n)
+    return filter_fn(Q * inv_sqrt) * inv_sqrt
+
+
+# ---------------------------------------------------------------------------
+# mean field
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gauss_sxy", "gauss_compat", "bilat_sxy", "bilat_srgb", "bilat_compat", "n_iters"
+    ),
+)
+def densecrf_inference(
+    probs: jnp.ndarray,     # [B,H,W,L] initial label probabilities
+    images: jnp.ndarray,    # [B,H,W,3] uint8 or float in [0,255]
+    gauss_sxy: float = 1.0,
+    gauss_compat: float = 2.0,
+    bilat_sxy: float = 50.0,
+    bilat_srgb: float = 5.0,
+    bilat_compat: float = 10.0,
+    n_iters: int = 5,
+):
+    """Mean-field marginals [B,H,W,L]."""
+    images = images.astype(jnp.float32)
+
+    def one(args):
+        p, img = args
+        unary = -jnp.log(jnp.clip(p, 1e-8, 1.0))
+
+        def gauss(v):
+            return _gaussian_filter(v, gauss_sxy)
+
+        def bilat(v):
+            return _bilateral_grid_filter(v, img, bilat_sxy, bilat_srgb)
+
+        def body(Q, _):
+            logits = -unary
+            if gauss_compat:
+                logits = logits + gauss_compat * _sym_message(gauss, Q)
+            if bilat_compat:
+                logits = logits + bilat_compat * _sym_message(bilat, Q)
+            Q = jax.nn.softmax(logits, axis=-1)
+            return Q, None
+
+        Q0 = jax.nn.softmax(-unary, axis=-1)
+        Q, _ = jax.lax.scan(body, Q0, None, length=n_iters)
+        return Q
+
+    return jax.lax.map(one, (probs, images))
+
+
+def apply_dense_crf(images, cams, n_iters: int = 5, **kwargs):
+    """Reference-surface helper (AlternatingDirectionCutLoss.py:183-204):
+    cam [B,H,W] in [0,1] → refined binary mask [B,H,W] uint8 via a 2-label CRF
+    with unary softmax([1−cam, cam])."""
+    probs = jnp.stack([1.0 - cams, cams], axis=-1)
+    probs = jnp.clip(probs, 1e-8, 1.0)
+    images = images.astype(jnp.float32)
+    if float(images.max()) <= 1.5:  # [0,1] tensors → [0,255] color space
+        images = images * 255.0
+    Q = densecrf_inference(probs, images, n_iters=n_iters, **kwargs)
+    return jnp.argmax(Q, axis=-1).astype(jnp.uint8)

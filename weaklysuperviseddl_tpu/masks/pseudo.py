@@ -48,6 +48,8 @@ def generate_pseudo_masks(
     image_size: int = 224,
     max_images: int = 500,
     store_dir: str | None = None,
+    use_crf: bool = False,
+    crf_kwargs: dict | None = None,
 ) -> MaskStore:
     """Batched pseudo-mask generation over a loader of Batch objects.
 
@@ -67,7 +69,17 @@ def generate_pseudo_masks(
             target_layers=tuple(target_layers), alpha=alpha,
             alpha_mode=alpha_mode, output_size=image_size,
         )
-        masks = cam_to_mask(cam, cam_thresh, keep_largest_masks)
+        if use_crf:
+            # script-path variant (AlternatingDirectionCutLoss.py:530-558):
+            # zero the CAM below threshold, then refine with the dense CRF
+            from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf
+
+            cam = jnp.where(cam < cam_thresh, 0.0, cam)
+            masks = apply_dense_crf(x * 255.0, cam, **(crf_kwargs or {}))
+            if keep_largest_masks:
+                masks = keep_largest_batch(masks)
+        else:
+            masks = cam_to_mask(cam, cam_thresh, keep_largest_masks)
         masks_np = np.asarray(masks)
         images_np = np.asarray(x)
         for i in range(batch.num_valid):

@@ -1,0 +1,123 @@
+"""ctypes bindings for the C++ runtime library (wsdl_native.cpp).
+
+Auto-builds on first use if the shared object is missing (g++ is part of the
+baked toolchain). The native pieces mirror the reference's two third-party
+C-extension dependencies (SURVEY.md §2.2): dense-CRF mean field (pydensecrf)
+and connected components (skimage).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libwsdl_native.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.wsdl_densecrf.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, u8p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, f32p,
+    ]
+    lib.wsdl_permutohedral_filter.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
+    ]
+    lib.wsdl_label_components.argtypes = [ctypes.c_int, ctypes.c_int, u8p, i32p]
+    lib.wsdl_label_components.restype = ctypes.c_int
+    lib.wsdl_keep_largest.argtypes = [ctypes.c_int, ctypes.c_int, u8p, u8p]
+    _lib = lib
+    return lib
+
+
+def _f32(a):
+    return np.ascontiguousarray(a, np.float32)
+
+
+def densecrf(
+    unary: np.ndarray,          # [H,W,L] negative log-probs
+    rgb: np.ndarray,            # [H,W,3] uint8
+    gauss_sxy: float = 1.0,
+    gauss_compat: float = 2.0,
+    bilat_sxy: float = 50.0,
+    bilat_srgb: float = 5.0,
+    bilat_compat: float = 10.0,
+    n_iters: int = 5,
+    exact: bool = False,
+) -> np.ndarray:
+    """Mean-field dense-CRF marginals [H,W,L]. exact=True runs the O(N²)
+    brute-force golden (test scale only)."""
+    lib = _load()
+    H, W, L = unary.shape
+    u = _f32(unary.reshape(H * W, L))
+    img = np.ascontiguousarray(rgb, np.uint8)
+    out = np.empty((H * W, L), np.float32)
+    lib.wsdl_densecrf(
+        H, W, L,
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        gauss_sxy, gauss_compat, bilat_sxy, bilat_srgb, bilat_compat,
+        n_iters, 1 if exact else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out.reshape(H, W, L)
+
+
+def permutohedral_filter(positions: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Raw lattice Gaussian filter: positions [N,d], values [N,C] → [N,C]."""
+    lib = _load()
+    N, d = positions.shape
+    C = values.shape[1]
+    pos = _f32(positions)
+    val = _f32(values)
+    out = np.empty((N, C), np.float32)
+    lib.wsdl_permutohedral_filter(
+        N, d, C,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def label_components(mask: np.ndarray) -> np.ndarray:
+    """8-connected labels: -1 background, else min-pixel-index component id."""
+    lib = _load()
+    H, W = mask.shape
+    m = np.ascontiguousarray(mask != 0, np.uint8)
+    out = np.empty((H, W), np.int32)
+    lib.wsdl_label_components(
+        H, W,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def keep_largest(mask: np.ndarray) -> np.ndarray:
+    lib = _load()
+    H, W = mask.shape
+    m = np.ascontiguousarray(mask != 0, np.uint8)
+    out = np.empty((H, W), np.uint8)
+    lib.wsdl_keep_largest(
+        H, W,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out

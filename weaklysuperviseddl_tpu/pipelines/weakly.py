@@ -87,6 +87,12 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
         target_layers=cfg.cam.target_layers, alpha_mode=cfg.cam.alpha_mode,
         image_size=d.image_size, max_images=cfg.mask.max_images,
         store_dir=cfg.mask.store_dir,
+        use_crf=cfg.mask.use_crf,
+        crf_kwargs=dict(
+            gauss_sxy=cfg.mask.crf_gaussian_sxy, gauss_compat=cfg.mask.crf_gaussian_compat,
+            bilat_sxy=cfg.mask.crf_bilateral_sxy, bilat_srgb=cfg.mask.crf_bilateral_srgb,
+            bilat_compat=cfg.mask.crf_bilateral_compat, n_iters=cfg.mask.crf_iters,
+        ) if cfg.mask.use_crf else None,
     )
     log(f"Pseudo masks generated: {len(store)}")
 
