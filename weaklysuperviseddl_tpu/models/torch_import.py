@@ -41,6 +41,7 @@ def _rewrite_key(key: str) -> str:
     key = re.sub(r"^layer0\.0\.", "conv1.", key)   # FrozenResNetCAM stem conv
     key = re.sub(r"^layer0\.1\.", "bn1.", key)     # FrozenResNetCAM stem bn
     key = re.sub(r"(layer\d)\.(\d+)\.", r"\1_\2.", key)
+    key = re.sub(r"(encoder\d)\.(\d+)\.", r"\1_\2.", key)  # BASNet encoder stages
     key = key.replace("downsample.0.", "downsample_conv.")
     key = key.replace("downsample.1.", "downsample_bn.")
     return key
