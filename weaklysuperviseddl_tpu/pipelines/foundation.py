@@ -1,0 +1,181 @@
+"""Foundation-model zero-shot baseline: GroundingDINO boxes → SAM masks.
+
+Reference: FoundationModel/two_stage_foundation.py — zero-shot detection with
+prompts ["a cat", "a dog"] (box thresh 0.3, text 0.25), boxes prompt
+SAM-vit-base, ``pred_masks[:, 0]`` → channel-max > 0.5 → 224² NEAREST binary
+mask; eval vs trimap∈{1,3}; saves masks + 3-panel viz.
+
+Design: the pipeline is dependency-injected — ``detector(image, prompts) →
+boxes [N,4]`` and ``segmenter(image, boxes) → masks [N,H,W] float`` — so the
+orchestration, mask fusion, eval, and persistence are fully testable without
+the (externally downloaded) HF checkpoints. ``hf_detector``/``hf_segmenter``
+build the real GroundingDINO/SAM backends when their weights are available
+(gated: zero-egress environments raise a clear error).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+
+DEFAULT_PROMPTS = ("a cat", "a dog")
+
+
+# ---------------------------------------------------------------------------
+# HF backends (weight-gated)
+# ---------------------------------------------------------------------------
+
+def hf_detector(model_name: str = "IDEA-Research/grounding-dino-base",
+                box_threshold: float = 0.3, text_threshold: float = 0.25):
+    """GroundingDINO zero-shot detector (ref two_stage_foundation.py:31-56)."""
+    import torch
+    from transformers import AutoModelForZeroShotObjectDetection, AutoProcessor
+
+    model = AutoModelForZeroShotObjectDetection.from_pretrained(model_name)
+    processor = AutoProcessor.from_pretrained(model_name)
+
+    def detect(image_pil, prompts):
+        inputs = processor(images=image_pil, text=[list(prompts)], return_tensors="pt")
+        with torch.no_grad():
+            outputs = model(**inputs)
+        target_sizes = torch.tensor([image_pil.size[::-1]])
+        results = processor.post_process_grounded_object_detection(
+            outputs, inputs.input_ids, threshold=box_threshold,
+            text_threshold=text_threshold, target_sizes=target_sizes,
+        )[0]
+        return np.asarray([b.detach().cpu().numpy() for b in results["boxes"]])
+
+    return detect
+
+
+def hf_segmenter(model_name: str = "facebook/sam-vit-base"):
+    """SAM box-prompted segmenter (ref two_stage_foundation.py:34-66)."""
+    import torch
+    from transformers import SamModel, SamProcessor
+
+    model = SamModel.from_pretrained(model_name)
+    processor = SamProcessor.from_pretrained(model_name)
+
+    def segment(image_pil, boxes):
+        inputs = processor(image_pil, input_boxes=[[list(b) for b in boxes]],
+                           return_tensors="pt")
+        with torch.no_grad():
+            masks = model(**inputs).pred_masks
+        return masks[:, 0].cpu().numpy().squeeze(0)
+
+    return segment
+
+
+# ---------------------------------------------------------------------------
+# orchestration (reference semantics, backend-agnostic)
+# ---------------------------------------------------------------------------
+
+def convert_3channel_to_mask(image_3ch, threshold: float = 0.5):
+    """Channel-max > threshold (ref :39-42)."""
+    gray = np.max(np.asarray(image_3ch), axis=0)
+    return (gray > threshold).astype(np.uint8)
+
+
+def calculate_iou_and_accuracy(pred_mask, true_mask):
+    """Reference :89-97."""
+    pred_mask = np.asarray(pred_mask)
+    true_mask = np.asarray(true_mask)
+    intersection = np.logical_and(pred_mask, true_mask).sum()
+    union = np.logical_or(pred_mask, true_mask).sum()
+    iou = intersection / union if union != 0 else 1.0
+    pixel_accuracy = (pred_mask == true_mask).sum() / pred_mask.size
+    return iou, pixel_accuracy
+
+
+class FoundationPipeline:
+    def __init__(self, detector=None, segmenter=None, output_size: int = 224):
+        self.detector = detector if detector is not None else hf_detector()
+        self.segmenter = segmenter if segmenter is not None else hf_segmenter()
+        self.output_size = output_size
+
+    def run_segmentation_pipeline(self, image, prompts=DEFAULT_PROMPTS):
+        """Reference :44-74. image: PIL or HWC uint8 array. Returns 224²
+        binary mask or None when nothing is detected."""
+        boxes = self.detector(image, prompts)
+        if boxes is None or len(boxes) == 0:
+            return None
+        masks = np.asarray(self.segmenter(image, boxes), np.float32)
+        if masks.ndim == 2:
+            masks = masks[None]
+        combined = convert_3channel_to_mask(masks)
+        import jax.numpy as jnp
+
+        resized = resize_nearest(
+            jnp.asarray(combined), (self.output_size, self.output_size),
+            torch_legacy=False,
+        )
+        return np.asarray(resized, np.uint8)
+
+
+def evaluate_pipeline_on_dataset(dataset, pipeline: FoundationPipeline,
+                                 num_images: int = 100, save_outputs: bool = True,
+                                 save_dir: str = "pseudo_masks",
+                                 prompts=DEFAULT_PROMPTS, log=print):
+    """Reference :99-149: per-image IoU/acc vs trimap∈{1,3}; saves masks and a
+    3-panel viz; prints running and final averages."""
+    iou_scores, acc_scores = [], []
+    if save_outputs:
+        os.makedirs(save_dir, exist_ok=True)
+
+    n = min(num_images, len(dataset))
+    for idx in range(n):
+        image, (_, trimap) = dataset[idx]
+        gt_bin = np.isin(np.asarray(trimap), [1, 3]).astype(np.uint8)
+        if gt_bin.shape != (pipeline.output_size, pipeline.output_size):
+            import jax.numpy as jnp
+
+            gt_bin = np.asarray(resize_nearest(
+                jnp.asarray(gt_bin), (pipeline.output_size, pipeline.output_size),
+                torch_legacy=False))
+
+        pred_mask = pipeline.run_segmentation_pipeline(image, prompts)
+        if pred_mask is None:
+            log(f"Image {idx}: No prediction made")
+            continue
+
+        iou, acc = calculate_iou_and_accuracy(pred_mask, gt_bin)
+        iou_scores.append(iou)
+        acc_scores.append(acc)
+        log(f"[{idx + 1}/{n}] IoU: {iou:.4f}, Accuracy: {acc:.4f}")
+
+        if save_outputs:
+            from PIL import Image as PILImage
+
+            PILImage.fromarray((pred_mask * 255).astype(np.uint8)).save(
+                os.path.join(save_dir, f"mask_{idx}.png"))
+            _save_viz(image, gt_bin, pred_mask, os.path.join(save_dir, f"viz_{idx}.png"))
+
+    avg_iou = float(np.mean(iou_scores)) if iou_scores else 0.0
+    avg_acc = float(np.mean(acc_scores)) if acc_scores else 0.0
+    log("\n--- Final Evaluation ---")
+    log(f"Average IoU over {len(iou_scores)} images: {avg_iou:.4f}")
+    log(f"Average Pixel Accuracy: {avg_acc:.4f}")
+    return avg_iou, avg_acc
+
+
+def _save_viz(image, gt_bin, pred_mask, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(1, 3, figsize=(12, 4))
+    axs[0].imshow(np.asarray(image))
+    axs[0].set_title("Original Image")
+    axs[1].imshow(gt_bin, cmap="gray")
+    axs[1].set_title("Ground Truth")
+    axs[2].imshow(pred_mask, cmap="gray")
+    axs[2].set_title("Predicted Mask")
+    for ax in axs:
+        ax.axis("off")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)

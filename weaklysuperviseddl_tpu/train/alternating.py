@@ -74,15 +74,20 @@ def run_alternating_training(
     store: MaskStore,
     cfg: ExperimentConfig,
     eval_fn=None,
+    checkpoint_dir: str | None = None,
+    start_iteration: int = 0,
     log=print,
 ):
     """Outer alternating loop (ref AlternatingDirectionCutLoss.py:791-818).
 
     ``eval_fn(state) -> (iou, acc)`` is called once per alternation, matching
-    the reference's per-iteration evaluation printout.
+    the reference's per-iteration evaluation printout. With ``checkpoint_dir``
+    set, each alternation persists the full train state + a versioned mask
+    snapshot (resume via utils.checkpoint.restore_state + MaskStore.load —
+    beyond the reference's weights-only torch.save, SURVEY.md §5).
     """
     alt: AlternatingConfig = cfg.alternating
-    for iteration in range(alt.num_alternations):
+    for iteration in range(start_iteration, alt.num_alternations):
         state, _ = train_segmentation_model(
             seg_model, state, tx, *store.as_arrays()[:2],
             loss_fn=cfg.seg.loss_fn, num_epochs=alt.epochs_per_round,
@@ -100,5 +105,9 @@ def run_alternating_training(
                 seg_model, state, store, alt.refine,
                 seg_size=cfg.data.seg_size, batch_size=cfg.seg.batch_size,
             )
+        if checkpoint_dir is not None:
+            from weaklysuperviseddl_tpu.utils.checkpoint import save_alternation
+
+            save_alternation(checkpoint_dir, iteration, state, store)
     log("Alternating training and pseudo mask updates completed.")
     return state, store

@@ -1,0 +1,92 @@
+"""Checkpoint / resume via orbax.
+
+The reference checkpoints weights-only ``torch.save(state_dict)`` with no
+optimizer state, step counter, or resume logic (SURVEY.md §5, C24); the durable
+pipeline state is the pseudo-mask PNG dirs. Here:
+
+  * ``save_state``/``restore_state`` persist the FULL training state (params,
+    batch_stats, optimizer state, step) — real resume, not weights-only;
+  * torch-style ``.pth`` interop remains available through
+    models/torch_import.py + the compat ``state_dict()`` methods;
+  * the mask store (data/mask_store.py) stays the durable artifact for the
+    alternating loop, saved per alternation by ``save_alternation``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _to_pure(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def save_state(path: str, state_tree) -> None:
+    """Save an arbitrary pytree (e.g. {'params':…, 'batch_stats':…,
+    'opt_state':…, 'step':…}) to ``path``."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, _to_pure(state_tree), force=True)
+        ckptr.wait_until_finished()
+    else:  # minimal fallback
+        import pickle
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(_to_pure(state_tree), f)
+
+
+def restore_state(path: str, template_tree):
+    """Restore a pytree saved by save_state; template supplies the structure."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX and os.path.isdir(path):
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, _to_pure(template_tree))
+    import pickle
+
+    with open(path + ".pkl", "rb") as f:
+        return pickle.load(f)
+
+
+def seg_state_tree(state):
+    """SegTrainState → checkpointable pytree."""
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+    }
+
+
+def load_seg_state(state, tree):
+    state.params = tree["params"]
+    state.batch_stats = tree["batch_stats"]
+    state.opt_state = tree["opt_state"]
+    state.step = int(tree["step"])
+    return state
+
+
+def save_alternation(root: str, iteration: int, state, store) -> str:
+    """Durable alternating-loop snapshot: train state + versioned mask dir
+    (the reference's file-mediated pipeline state, made explicit)."""
+    alt_dir = os.path.join(os.path.abspath(root), f"alt_{iteration:03d}")
+    os.makedirs(alt_dir, exist_ok=True)
+    save_state(os.path.join(alt_dir, "state"), seg_state_tree(state))
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore
+
+    snapshot = MaskStore(directory=os.path.join(alt_dir, "masks"))
+    for key in store.keys():
+        image, mask = store.get(key)
+        snapshot.put(key, image, mask)
+    return alt_dir

@@ -1,0 +1,94 @@
+"""Tracing / profiling — first-class, unlike the reference (SURVEY.md §5:
+"no profiler, no timers, not even time.time()").
+
+* ``phase(name)``      — context manager timing a pipeline phase with a forced
+                         scalar readback (block_until_ready is unreliable under
+                         remote relays — see bench.py NOTE).
+* ``Stopwatch``        — accumulates per-phase wall times + image counts and
+                         reports images/sec (the baseline metric).
+* ``trace(dir)``       — jax.profiler trace wrapper for TensorBoard dumps.
+* ``log_compile_time`` — decorator reporting first-call (compile) vs steady cost.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+def force_ready(value):
+    """Ensure device work backing `value` has completed (readback a scalar)."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(value)
+    if not leaves:
+        return value
+    x = leaves[0]
+    if hasattr(x, "ravel"):
+        float(jnp.asarray(x).ravel()[0])
+    return value
+
+
+class Stopwatch:
+    def __init__(self):
+        self.times = defaultdict(float)
+        self.counts = defaultdict(int)
+        self.images = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, images: int = 0):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.times[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+            self.images[name] += images
+
+    def report(self, log=print):
+        for name in self.times:
+            line = f"[profile] {name}: {self.times[name]:.3f}s over {self.counts[name]} calls"
+            if self.images[name]:
+                line += f" = {self.images[name] / self.times[name]:.1f} img/s"
+            log(line)
+
+    def rate(self, name: str) -> float:
+        return self.images[name] / self.times[name] if self.times[name] else 0.0
+
+
+@contextlib.contextmanager
+def phase(name: str, log=print):
+    t0 = time.perf_counter()
+    yield
+    log(f"[profile] {name}: {time.perf_counter() - t0:.3f}s")
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def log_compile_time(fn, name: str | None = None, log=print):
+    """Wrap a jitted fn: report the first (compile) call's wall time."""
+    label = name or getattr(fn, "__name__", "fn")
+    state = {"first": True}
+
+    def wrapped(*args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        force_ready(out)
+        dt = time.perf_counter() - t0
+        if state["first"]:
+            log(f"[profile] {label}: first call (compile) {dt:.2f}s")
+            state["first"] = False
+        return out
+
+    return wrapped
