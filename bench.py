@@ -34,6 +34,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: bench re-runs shouldn't pay XLA compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/wsdl_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from weaklysuperviseddl_tpu.masks.pseudo import cam_to_mask
     from weaklysuperviseddl_tpu.cam.layercam import layercam
     from weaklysuperviseddl_tpu.models.classifier import CamClassifier
@@ -44,6 +51,7 @@ def main():
     )
 
     small = os.environ.get("WSDL_BENCH_SMALL") == "1"
+    dtype = jnp.dtype(os.environ.get("WSDL_BENCH_DTYPE", "float32"))
     cam_batch = int(os.environ.get("WSDL_BENCH_CAM_BATCH", 4 if small else 32))
     seg_batch = int(os.environ.get("WSDL_BENCH_SEG_BATCH", 2 if small else 16))
     iters = int(os.environ.get("WSDL_BENCH_ITERS", 2 if small else 20))
@@ -56,7 +64,7 @@ def main():
     rngkey = jax.random.PRNGKey(0)
 
     # --- stage A: LayerCAM + pseudo-mask gen ---------------------------------
-    clf = CamClassifier(num_classes=37, depth=depth, width_multiplier=width)
+    clf = CamClassifier(num_classes=37, depth=depth, width_multiplier=width, dtype=dtype)
     clf_vars = jax.jit(clf.init)(rngkey, jnp.zeros((1, cam_size, cam_size, 3)))
     images = jnp.asarray(rng.uniform(0, 1, (cam_batch, cam_size, cam_size, 3)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 37, cam_batch).astype(np.int32))
@@ -83,7 +91,7 @@ def main():
     cam_rate = iters * cam_batch / (time.perf_counter() - t0)
 
     # --- stage B: DeepLabV3 train step ---------------------------------------
-    seg = DeepLabV3(num_classes=2, backbone_depth=depth, width_multiplier=width)
+    seg = DeepLabV3(num_classes=2, backbone_depth=depth, width_multiplier=width, dtype=dtype)
     state, tx = create_seg_state(seg, rngkey, input_size=seg_size, lr=1e-4)
     step = make_seg_train_step(seg, tx)
     seg_images = jnp.asarray(
@@ -131,6 +139,7 @@ def main():
             "cam_batch": cam_batch,
             "seg_batch": seg_batch,
             "iters": iters,
+            "dtype": str(dtype),
             "device": str(jax.devices()[0]),
         },
     }

@@ -7,13 +7,19 @@ jit-able fixed-point label propagation that runs on the TPU and vmaps over the
 batch; a C++ union-find twin lives in native/ for host-side golden checks.
 
 Algorithm: seed every foreground pixel with its linear index, then iterate
-  1. 8-neighbour min-relaxation (one step of label flooding), and
+  1. separable 3×3 min-relaxation (vertical 3-min then horizontal 3-min ==
+     min over the 8-neighbourhood + self, 4 shifted ops instead of 8 padded
+     slices), and
   2. segmented min-scans along rows and columns (associative_scan with a
      reset at background pixels) — these propagate labels across an entire
      straight run in one shot, so convergence needs only O(#turns) iterations
-     instead of O(image diameter).
+     instead of O(image diameter),
 inside ``lax.while_loop`` until a fixed point. Matches skimage's default
 8-connectivity (connectivity=2 for 2-D inputs).
+
+(Pointer-jumping via gathers — the classic Shiloach–Vishkin accelerator — was
+tried and measured 70× SLOWER on TPU: 50k-element gathers do not vectorize on
+the VPU. Scans + shifts are the TPU-native formulation.)
 """
 
 from __future__ import annotations
@@ -26,35 +32,16 @@ import jax.numpy as jnp
 _INF = jnp.iinfo(jnp.int32).max
 
 
-def _segmented_min_scan(values, fg, axis, reverse):
-    """Min-scan along ``axis`` that resets at background pixels.
+def _neighbor_min(labels, fg, sentinel=_INF):
+    """Min over the 3×3 neighbourhood (separable), masked to foreground.
 
-    Elements are (v, r): r=1 marks a segment boundary (background).
-    combine(a, b) = (b.v if b.r else min(a.v, b.v), a.r | b.r) — associative.
+    labels: [H,W] int32 where background holds ``sentinel`` (≥ any label).
     """
-    reset = ~fg
-
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
-
-    out, _ = jax.lax.associative_scan(combine, (values, reset), axis=axis, reverse=reverse)
-    return jnp.where(fg, out, _INF)
-
-
-def _neighbor_min(labels, fg):
-    """One step of 8-neighbour min-relaxation (INF-padded shifts)."""
-    padded = jnp.pad(labels, 1, constant_values=_INF)
-    best = labels
-    H, W = labels.shape
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            shifted = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (H, W))
-            best = jnp.minimum(best, shifted)
-    return jnp.where(fg, best, _INF)
+    pv = jnp.pad(labels, ((1, 1), (0, 0)), constant_values=sentinel)
+    v = jnp.minimum(jnp.minimum(pv[:-2], pv[1:-1]), pv[2:])
+    ph = jnp.pad(v, ((0, 0), (1, 1)), constant_values=sentinel)
+    m = jnp.minimum(jnp.minimum(ph[:, :-2], ph[:, 1:-1]), ph[:, 2:])
+    return jnp.where(fg, m, sentinel)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
@@ -65,19 +52,41 @@ def label_components(mask: jnp.ndarray, max_iters: int | None = None):
     index of its minimal pixel (stable, order-independent). ``max_iters``
     bounds the fixed-point loop (default H+W, ample for real masks; raise it
     for adversarial spirals).
+
+    Segmented min-scans use native ``lax.cummin`` via a run-id offset trick:
+    with BIG = H·W (all in-scan values ≤ BIG) and run ids r (cumsum of
+    background resets, precomputed once per axis since the mask is static
+    across iterations), ``cummin(v − BIG·r) + BIG·r`` equals the min over the
+    contiguous foreground run — earlier runs are shifted up by ≥BIG and can
+    never win. One native cumulative op per direction instead of a 2-tuple
+    associative_scan (~4× fewer passes).
     """
     H, W = mask.shape
+    assert H * W * (max(H, W) + 1) < 2**31, "run-id offset would overflow int32"
     fg = mask.astype(bool)
     seeds = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
-    labels = jnp.where(fg, seeds, _INF)
+    BIG = jnp.int32(H * W)
+    labels = jnp.where(fg, seeds, BIG)
     limit = max_iters if max_iters is not None else H + W
 
+    reset = (~fg).astype(jnp.int32)
+    row_run = jnp.cumsum(reset, axis=1) * BIG   # constant within each row run
+    col_run = jnp.cumsum(reset, axis=0) * BIG
+
+    def seg_cummin(values, run_offset, axis, reverse):
+        # scan-direction-"earlier" runs must rank strictly higher than any
+        # in-run value: shift by −BIG·run_id forward, +BIG·run_id reverse
+        sign = 1 if reverse else -1
+        adj = jnp.where(fg, values, BIG) + sign * run_offset
+        out = jax.lax.cummin(adj, axis=axis, reverse=reverse) - sign * run_offset
+        return jnp.where(fg, jnp.minimum(out, BIG), BIG)
+
     def step(labels):
-        labels = _neighbor_min(labels, fg)
-        labels = _segmented_min_scan(labels, fg, axis=1, reverse=False)
-        labels = _segmented_min_scan(labels, fg, axis=1, reverse=True)
-        labels = _segmented_min_scan(labels, fg, axis=0, reverse=False)
-        labels = _segmented_min_scan(labels, fg, axis=0, reverse=True)
+        labels = _neighbor_min(labels, fg, BIG)
+        labels = seg_cummin(labels, row_run, 1, False)
+        labels = seg_cummin(labels, row_run, 1, True)
+        labels = seg_cummin(labels, col_run, 0, False)
+        labels = seg_cummin(labels, col_run, 0, True)
         return labels
 
     def cond(state):

@@ -69,6 +69,30 @@ class BasicBlock(nn.Module):
         return nn.relu(out + res)
 
 
+class BasicBlockDe(nn.Module):
+    """Decoder BasicBlock whose residual path is a conv+BN+ReLU instead of
+    identity (ref resnet_model.py:60-96; part of the BASNet block family)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        res = _conv(self.planes, 3, self.stride, self.dilation, dt, "convRes")(x)
+        res = _norm(dt, "bnRes")(res, use_running_average=not train)
+        res = nn.relu(res)
+        out = _conv(self.planes, 3, self.stride, self.dilation, dt, "conv1")(x)
+        out = _norm(dt, "bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dilation, dt, "conv2")(out)
+        out = _norm(dt, "bn2")(out, use_running_average=not train)
+        return nn.relu(out + res)
+
+
 class Bottleneck(nn.Module):
     """1-3-1 bottleneck, expansion 4 (ResNet-50; ref resnet_model.py:99-135)."""
 

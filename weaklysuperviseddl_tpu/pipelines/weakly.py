@@ -44,6 +44,7 @@ def build_classifier(cfg: ExperimentConfig, rng=None):
         depth=cfg.classifier.depth,
         width_multiplier=cfg.classifier.width_multiplier,
         dilate_layer4=cfg.classifier.dilate_layer4,
+        dtype=jnp.dtype(cfg.classifier.dtype),
     )
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     variables = model.init(rng, jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3)))
@@ -101,6 +102,7 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
         num_classes=cfg.seg.num_classes,
         backbone_depth=cfg.seg.backbone_depth,
         width_multiplier=cfg.seg.width_multiplier,
+        dtype=jnp.dtype(cfg.seg.dtype),
     )
     seg_state, tx = create_seg_state(
         seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size, lr=cfg.seg.lr

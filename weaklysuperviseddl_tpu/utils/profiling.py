@@ -13,10 +13,24 @@
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 
 import jax
+
+
+def enable_compile_cache(path: str | None = None):
+    """Persistent XLA compilation cache — first compiles of the big models are
+    20-40s on this stack; cache them across processes."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.path.expanduser("~/.cache/wsdl_jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def force_ready(value):
