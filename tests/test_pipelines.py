@@ -27,3 +27,24 @@ def test_supervised_baseline_end_to_end():
     assert 0.0 <= metrics["iou_mean"] <= 1.0
     assert metrics["iou_std"] >= 0.0
     assert any("Final Test Results:" in s for s in logs)
+
+
+def test_alternating_pipeline_end_to_end(tmp_path):
+    from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised_alternating
+
+    cfg = smoke_config()
+    logs = []
+    result = run_weakly_supervised_alternating(cfg, checkpoint_dir=str(tmp_path),
+                                               log=logs.append)
+    assert "alt_iou" in result.metrics
+    assert 0.0 <= result.metrics["alt_iou"] <= 1.0
+    import os
+    assert os.path.isdir(os.path.join(str(tmp_path), "alt_000"))
+    assert any("completed" in s for s in logs)
+
+
+def test_prefetch_preserves_order():
+    from weaklysuperviseddl_tpu.data.loader import prefetch
+
+    items = list(prefetch(iter(range(10)), size=3))
+    assert items == list(range(10))

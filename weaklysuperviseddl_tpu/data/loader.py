@@ -7,6 +7,8 @@ to a common stacking size; everything downstream is device work.
 
 from __future__ import annotations
 
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -90,3 +92,26 @@ def batches(
             trimap=np.stack(tris),
             num_valid=num_valid,
         )
+
+
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetcher: host decode/stack overlaps device compute
+    (the TPU-idiomatic stand-in for the reference's DataLoader(num_workers=4),
+    AlternatingDirectionCutLoss.py:476)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -8,7 +8,6 @@ mean/stdev per combo. Same surface here, driven by ExperimentConfig overrides.
 
 from __future__ import annotations
 
-import dataclasses
 import itertools
 
 import jax

@@ -120,4 +120,38 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
         seg_size=d.seg_size, eval_size=d.image_size, log=log,
     )
     metrics = {"iou": avg_iou, "acc": avg_acc, "final_loss": final_loss}
-    return WeaklySupervisedResult(variables, seg_state, store, metrics)
+    result = WeaklySupervisedResult(variables, seg_state, store, metrics)
+    result._seg_model = seg_model
+    result._tx = tx
+    result._test_ds = test_ds
+    return result
+
+
+def run_weakly_supervised_alternating(
+    cfg: ExperimentConfig, checkpoint_dir: str | None = None, log=print
+) -> WeaklySupervisedResult:
+    """The full north-star path (reference script body,
+    AlternatingDirectionCutLoss.py:468-821): the weakly-supervised cycle above
+    followed by the alternating train ↔ refine loop over the pseudo-mask
+    store, with per-alternation eval — every hot loop compiled and batched."""
+    from weaklysuperviseddl_tpu.train.alternating import run_alternating_training
+
+    result = run_weakly_supervised(cfg, log=log)
+    seg_model, tx, test_ds = result._seg_model, result._tx, result._test_ds
+    d = cfg.data
+
+    def eval_fn(state):
+        return evaluate_segmentation(
+            seg_model, state, batches(test_ds, d.eval_batch_size),
+            seg_size=d.seg_size, eval_size=d.image_size,
+        )
+
+    state, store = run_alternating_training(
+        seg_model, result.seg_state, tx, result.mask_store, cfg,
+        eval_fn=eval_fn, checkpoint_dir=checkpoint_dir, log=log,
+    )
+    iou, acc = eval_fn(state)
+    result.seg_state = state
+    result.mask_store = store
+    result.metrics.update({"alt_iou": iou, "alt_acc": acc})
+    return result
