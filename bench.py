@@ -51,7 +51,9 @@ def main():
     )
 
     small = os.environ.get("WSDL_BENCH_SMALL") == "1"
-    dtype = jnp.dtype(os.environ.get("WSDL_BENCH_DTYPE", "float32"))
+    # bf16 compute is the TPU-native default (params stay fp32; quality/parity
+    # is tested separately in fp32 — this benchmark measures throughput)
+    dtype = jnp.dtype(os.environ.get("WSDL_BENCH_DTYPE", "bfloat16"))
     cam_batch = int(os.environ.get("WSDL_BENCH_CAM_BATCH", 4 if small else 32))
     seg_batch = int(os.environ.get("WSDL_BENCH_SEG_BATCH", 2 if small else 16))
     iters = int(os.environ.get("WSDL_BENCH_ITERS", 2 if small else 20))
