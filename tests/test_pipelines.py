@@ -48,3 +48,20 @@ def test_prefetch_preserves_order():
 
     items = list(prefetch(iter(range(10)), size=3))
     assert items == list(range(10))
+
+
+def test_ablation_grid_pipeline():
+    from weaklysuperviseddl_tpu.pipelines.ablations import run_ablation_experiment
+    from weaklysuperviseddl_tpu.pipelines.weakly import build_classifier
+
+    cfg = smoke_config()
+    model, variables = build_classifier(cfg)
+    grid = [("LayerCAM", 0.3, 1.0, 1e-3, True), ("LayerCAM", 0.5, 1.0, 1e-3, True)]
+    logs = []
+    results = run_ablation_experiment(grid, model, variables, cfg,
+                                      num_repeats=2, log=logs.append)
+    summaries = [r for r in results if "iou_mean" in r]
+    assert len(summaries) == 2
+    assert all("iou_std" in s and s["iou_std"] >= 0 for s in summaries)
+    runs = [r for r in results if "run_id" in r]
+    assert len(runs) == 4  # 2 combos x 2 repeats

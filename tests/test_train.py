@@ -128,3 +128,53 @@ def test_sharded_fc_step_matches_single_device():
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(fc1), jax.tree.leaves(fc2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_eval_matches_counters():
+    """SPMD sharded eval (psum'd confusion counters) == single-device eval."""
+    import jax
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state,
+        evaluate_segmentation_sharded,
+    )
+    from weaklysuperviseddl_tpu.utils.metrics import (
+        binary_confusion_counts,
+        finish_iou_and_acc,
+    )
+    import jax.numpy as jnp
+
+    mesh = make_mesh(data=8, model=1)
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, (16, 32, 32, 3)).astype(np.float32)
+    true_fg = rng.integers(0, 2, (16, 32, 32)).astype(np.int32)
+
+    iou_s, acc_s = evaluate_segmentation_sharded(
+        model, state, jnp.asarray(images), jnp.asarray(true_fg), mesh)
+
+    logits = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                         jnp.asarray(images), train=False)
+    preds = jnp.argmax(logits, axis=-1)
+    iou_r, acc_r = finish_iou_and_acc(binary_confusion_counts(preds, jnp.asarray(true_fg)))
+    np.testing.assert_allclose(iou_s, float(iou_r), rtol=1e-6)
+    np.testing.assert_allclose(acc_s, float(acc_r), rtol=1e-6)
+
+
+def test_nonfinite_gradient_guard():
+    """A poisoned batch (NaN images) must not corrupt params (optax.apply_if_finite)."""
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    step = make_seg_train_step(model, tx)
+    before = jax.tree.map(jnp.copy, state.params)
+
+    x = jnp.full((2, 32, 32, 3), jnp.nan)
+    m = jnp.zeros((2, 32, 32), jnp.int32)
+    params, stats, opt, loss = step(
+        state.params, state.batch_stats, state.opt_state, x, m,
+        jnp.ones((2,), bool), jax.random.PRNGKey(1),
+    )
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -37,13 +37,21 @@ class SegTrainState:
     step: int = 0
 
 
-def create_seg_state(model, rng, input_size: int, lr: float = 1e-4, batch: int = 2):
+def create_seg_state(
+    model, rng, input_size: int, lr: float = 1e-4, batch: int = 2,
+    guard_nonfinite: bool = True,
+):
+    """``guard_nonfinite`` wraps the optimizer in optax.apply_if_finite: a
+    step whose gradients contain NaN/inf is skipped instead of poisoning the
+    params — minimal failure detection the reference lacks (SURVEY.md §5)."""
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         jnp.zeros((batch, input_size, input_size, 3)),
         train=False,
     )
     tx = optax.adam(lr)
+    if guard_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return (
         SegTrainState(
             params=variables["params"],
@@ -151,6 +159,36 @@ def train_segmentation_model(
             log(f"[Run {run_id}] Validation IoU: {avg_iou:.4f}, Accuracy: {avg_acc:.4f}")
 
     return state, final_loss
+
+
+def evaluate_segmentation_sharded(
+    model,
+    state: SegTrainState,
+    images: jnp.ndarray,    # [N,H,W,3] float (already preprocessed/normalized)
+    true_fg: jnp.ndarray,   # [N,H,W] int {0,1}
+    mesh,
+):
+    """SPMD eval: batch sharded on the 'data' mesh axis, per-shard confusion
+    counters reduced by XLA (outputs are replicated sums → one psum inserted
+    automatically). The distributed-metrics path the reference lacks
+    (SURVEY.md §2.3: 'pmean for cross-chip loss/metric reductions')."""
+    from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding, replicated, replicate_tree
+    from weaklysuperviseddl_tpu.utils.metrics import binary_confusion_counts, finish_iou_and_acc
+
+    params = replicate_tree(mesh, state.params)
+    stats = replicate_tree(mesh, state.batch_stats)
+    images = jax.device_put(images, batch_sharding(mesh, 4))
+    true_fg = jax.device_put(true_fg, batch_sharding(mesh, 3))
+
+    @partial(jax.jit, out_shardings=replicated(mesh))
+    def counts(params, stats, images, true_fg):
+        logits = model.apply({"params": params, "batch_stats": stats}, images, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        return binary_confusion_counts(preds, true_fg)
+
+    c = counts(params, stats, images, true_fg)
+    iou, acc = finish_iou_and_acc(c)
+    return float(iou), float(acc)
 
 
 def evaluate_segmentation(
