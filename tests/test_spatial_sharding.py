@@ -11,11 +11,14 @@ from weaklysuperviseddl_tpu.parallel import make_mesh
 from weaklysuperviseddl_tpu.parallel.spatial import shard_spatial, spatial_sharded_ncut_loss
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+# one shard count: each parametrization recompiles the shard_map program,
+# which dominates suite time on the 1-core CPU host (uneven-halo edge cases
+# are covered by the window3 test below at a different shard/size ratio)
+@pytest.mark.parametrize("n_shards", [4])
 def test_sharded_matches_unsharded(n_shards):
     mesh = make_mesh(data=n_shards, model=1, devices=jax.devices()[:n_shards])
     rng = np.random.default_rng(0)
-    B, H, W, C = 2, 32, 16, 2
+    B, H, W, C = 2, 16, 16, 2
     logits = rng.standard_normal((B, H, W, C)).astype(np.float32)
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     images = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)

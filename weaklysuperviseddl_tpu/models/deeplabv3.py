@@ -67,6 +67,11 @@ class DeepLabV3(nn.Module):
     backbone_depth: int = 50
     width_multiplier: float = 1.0
     dtype: Any = jnp.float32
+    # per-block remat measured slightly SLOWER on v5e (297 vs 318 img/s at
+    # batch 16 bf16): the step is bandwidth-bound but recompute costs more
+    # than the saved activation traffic. Kept available for memory-limited
+    # configurations (larger batches/resolutions).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,6 +82,7 @@ class DeepLabV3(nn.Module):
             width_multiplier=self.width_multiplier,
             replace_stride_with_dilation=(False, True, True),  # output stride 8
             dtype=dt,
+            remat=self.remat,
             name="backbone",
         )(x, train=train)
 
