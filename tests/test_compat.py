@@ -152,3 +152,37 @@ def test_lovasz_compat_names():
     assert 0.0 <= val <= 1.0
     assert L.mean([1.0, float("nan"), 3.0], ignore_nan=True) == 2.0
     assert L.mean([], empty=0) == 0
+
+
+def test_cutloss_script_surface(tmp_path):
+    """train_model / evaluate_model / infer_and_plot from the CutLoss script."""
+    import optax
+    from weaklysuperviseddl_tpu.compat.AlternatingDirectionCutLoss import (
+        evaluate_model as cut_evaluate_model,
+        infer_and_plot,
+        train_model as cut_train_model,
+    )
+    from weaklysuperviseddl_tpu.compat.SegmentationModel import initialize_model
+
+    model, tx = initialize_model(2, backbone_depth=18, width_multiplier=0.25,
+                                 input_size=48, lr=1e-3)
+    train_ds = download_data(None, split="trainval", synthetic_size=8, image_size=48)
+    loss = cut_train_model(model, tx, num_epochs=1,
+                           train_loader=batches(train_ds, 4, pad_to_full=True),
+                           log=lambda s: None)
+    assert np.isfinite(loss)
+
+    test_ds = download_data(None, split="test", synthetic_size=4, image_size=48)
+    iou, acc = cut_evaluate_model(model, batches(test_ds, 4))
+    assert 0.0 <= iou <= 1.0 and 0.0 <= acc <= 1.0
+
+    # infer_and_plot from files
+    from PIL import Image
+    img_path = str(tmp_path / "0.png")
+    mask_path = str(tmp_path / "0m.png")
+    Image.fromarray(train_ds.images[0]).save(img_path)
+    Image.fromarray((train_ds.trimaps[0] == 1).astype(np.uint8) * 255).save(mask_path)
+    pred = infer_and_plot(model, img_path, mask_path, save_path=str(tmp_path / "viz.png"))
+    assert pred.shape == (256, 256)
+    import os
+    assert os.path.exists(tmp_path / "viz.png")

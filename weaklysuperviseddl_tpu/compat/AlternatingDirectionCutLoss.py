@@ -95,6 +95,82 @@ class CAMGenerator:
         return m_bg[0], max_obj[0]
 
 
+def train_model(model, optimizer_state_or_tx, criterion_ce=None, num_epochs: int = 3,
+                train_loader=None, log=print):
+    """Reference :684-707 — epoch loop over (images, masks, name) batches.
+
+    ``model`` is a compat SegModelHandle; training routes through the jit'd
+    step (the reference's explicit torch loop). ``criterion_ce`` accepted for
+    signature parity; CE is the loss either way.
+    """
+    import numpy as np
+
+    from weaklysuperviseddl_tpu.train.segmentation import train_segmentation_model
+
+    assert train_loader is not None, "pass train_loader=(images, masks) arrays or Batch iterable"
+    if isinstance(train_loader, tuple):
+        images, masks = train_loader
+    else:
+        ims, ms = [], []
+        for batch in train_loader:
+            ims.append(batch.image[: batch.num_valid])
+            ms.append((batch.trimap[: batch.num_valid] == 1).astype(np.uint8))
+        images, masks = np.concatenate(ims), np.concatenate(ms)
+    model.state, final_loss = train_segmentation_model(
+        model.module, model.state, optimizer_state_or_tx, images, masks,
+        num_epochs=num_epochs, seg_size=model.input_size, log=log,
+    )
+    return final_loss
+
+
+def evaluate_model(model, test_loader, log=lambda s: None):
+    """Reference :639-682 — the script variant that binarizes SHIFTED labels
+    (fg = 1 - clip(shifted,0,1), ref :658-662) instead of trimap==1."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+    from weaklysuperviseddl_tpu.utils.metrics import compute_iou_and_acc
+
+    ious, accs = [], []
+    for batch in test_loader:
+        out = model(jnp.asarray(batch.image).astype(jnp.float32) / 255.0)["out"]
+        preds = jnp.argmax(out, axis=1)
+        for i in range(batch.num_valid):
+            t = jnp.asarray(batch.trimap[i], jnp.int32)
+            shifted = jnp.clip(t - 1, 0, None)
+            true_fg = 1 - jnp.clip(shifted, 0, 1)
+            p_ = preds[i]
+            if p_.shape != true_fg.shape:
+                p_ = resize_nearest(p_, true_fg.shape, torch_legacy=True)
+            iou, acc = compute_iou_and_acc(p_, true_fg)
+            ious.append(float(iou))
+            accs.append(float(acc))
+    return sum(ious) / len(ious), sum(accs) / len(accs)
+
+
+def infer_and_plot(model, img_path, pseudo_mask_path, save_path=None):
+    """Reference :835-861 — load an image + its pseudo mask, predict, plot."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    img = Image.open(img_path).convert("RGB").resize((256, 256))
+    x = np.asarray(img, np.float32) / 255.0
+    x = (x - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+        [0.229, 0.224, 0.225], np.float32
+    )
+    out = model(jnp.asarray(x)[None])["out"]
+    pred = np.asarray(jnp.argmax(out[0], axis=0))
+    if save_path:
+        from weaklysuperviseddl_tpu.compat.Visualisation import visualize_mask
+
+        visualize_mask(np.asarray(img), pred, title="Predicted Segmentation",
+                       save_path=save_path)
+    return pred
+
+
 def refine_pseudo_mask(model, image, mask, lambda_boundary=0.1, threshold=0.5,
                        lr=1e-2, num_steps=20, sigma_color=0.1, window_size=5):
     """Reference :709-767 — single-image signature over the batched core.

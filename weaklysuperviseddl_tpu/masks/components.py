@@ -20,6 +20,11 @@ inside ``lax.while_loop`` until a fixed point. Matches skimage's default
 (Pointer-jumping via gathers — the classic Shiloach–Vishkin accelerator — was
 tried and measured 70× SLOWER on TPU: 50k-element gathers do not vectorize on
 the VPU. Scans + shifts are the TPU-native formulation.)
+
+Measured on v5e at 224², batch 32 (keep_largest incl. bincount+select):
+~5 ms/batch on realistic blobby CAM masks (few components, 2-3 iterations);
+~20 ms/batch on adversarial speckle masks (hundreds of components). The
+bincount largest-component selection is essentially free next to the scans.
 """
 
 from __future__ import annotations
