@@ -17,7 +17,7 @@ from weaklysuperviseddl_tpu.data.loader import batches
 from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
 from weaklysuperviseddl_tpu.train.segmentation import (
     create_seg_state,
-    evaluate_segmentation,
+    evaluate_multiclass,
     train_segmentation_model,
 )
 from weaklysuperviseddl_tpu.utils.metrics import mean_std
@@ -68,10 +68,13 @@ def run_supervised_training(
     images, masks = _true_masks(train_ds)
 
     def val_eval(st):
-        return evaluate_segmentation(
+        # reference protocol: nanmean per-class IoU + pixel acc per batch
+        # (SupervisedModel.py:44-83); returns (iou, acc) for the log line
+        acc, iou = evaluate_multiclass(
             model, st, batches(val_ds, d.eval_batch_size),
-            seg_size=d.seg_size, eval_size=d.image_size,
+            num_classes=cfg.seg.num_classes, seg_size=d.seg_size,
         )
+        return iou, acc
 
     state, _ = train_segmentation_model(
         model, state, tx, images, masks,
@@ -83,9 +86,9 @@ def run_supervised_training(
     accs, ious = [], []
     for run in range(test_runs):
         log(f"\nTest Run {run + 1}/{test_runs}")
-        iou, acc = evaluate_segmentation(
+        acc, iou = evaluate_multiclass(
             model, state, batches(test_ds, d.eval_batch_size),
-            seg_size=d.seg_size, eval_size=d.image_size,
+            num_classes=cfg.seg.num_classes, seg_size=d.seg_size,
         )
         accs.append(acc)
         ious.append(iou)

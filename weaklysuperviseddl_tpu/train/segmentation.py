@@ -161,6 +161,48 @@ def train_segmentation_model(
     return state, final_loss
 
 
+def evaluate_multiclass(
+    model,
+    state: SegTrainState,
+    loader,
+    num_classes: int = 2,
+    seg_size: int = 256,
+    normalize: bool = True,
+    log=None,
+):
+    """The supervised baseline's eval protocol (ref SupervisedModel.py:44-83):
+    per-batch pixel accuracy and nanmean of per-class IoU, averaged over
+    batches; true masks are the binarized trimaps (fg = trimap==1)."""
+    from weaklysuperviseddl_tpu.utils.metrics import per_class_iou
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+
+    @jax.jit
+    def predict(images):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    total_acc, total_iou, batches_n = 0.0, 0.0, 0
+    for batch in loader:
+        x, _ = preprocess_batch(jnp.asarray(batch.image), None, size=seg_size)
+        if normalize:
+            x = _normalize_images(x)
+        preds = predict(x)[: batch.num_valid]
+        masks = (jnp.asarray(batch.trimap[: batch.num_valid], jnp.int32) == 1).astype(jnp.int32)
+        if preds.shape[1] != masks.shape[1]:
+            preds = resize_nearest(preds, masks.shape[1:3], torch_legacy=True, axes=(1, 2))
+        _, mean_iou, pixel_acc = per_class_iou(preds, masks, num_classes)
+        total_acc += float(pixel_acc)
+        total_iou += float(mean_iou)
+        batches_n += 1
+    avg_acc = total_acc / batches_n
+    avg_iou = total_iou / batches_n
+    if log:
+        log(f"Val Acc: {avg_acc:.4f} | Val IoU: {avg_iou:.4f}")
+    return avg_acc, avg_iou
+
+
 def evaluate_segmentation_sharded(
     model,
     state: SegTrainState,
