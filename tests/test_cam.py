@@ -125,3 +125,23 @@ def test_cam_bg_range_and_shape():
                            alpha=2.0, output_size=64)
     assert m_bg.shape == (2, 64, 64) and max_obj.shape == (2, 64, 64)
     assert float(m_bg.min()) >= -1e-5 and float(m_bg.max()) <= 1.0 + 1e-5
+
+
+def test_layercam_three_layer_variant():
+    """The CutLoss variant uses target layers (layer2, layer3, layer4)
+    (AlternatingDirectionCutLoss.py:217); parity vs the torch hook golden."""
+    tmodel, fmodel, variables = make_pair(18, 0.25, seed=5)
+    x = np.random.default_rng(9).standard_normal((2, 64, 64, 3), dtype=np.float32)
+    cls = np.array([0, 36], np.int32)
+
+    golden = TorchHookLayerCAM(tmodel, ("layer2", "layer3", "layer4"))
+    ref = golden.generate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(cls).long(),
+        alpha=1.0, mode="per_layer", out_size=64,
+    ).numpy()
+    got, _ = layercam(
+        fmodel, variables, jnp.asarray(x), jnp.asarray(cls),
+        target_layers=("layer2", "layer3", "layer4"), alpha=1.0,
+        alpha_mode="per_layer", output_size=64,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3)

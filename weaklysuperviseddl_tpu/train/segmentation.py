@@ -161,6 +161,30 @@ def train_segmentation_model(
     return state, final_loss
 
 
+@partial(jax.jit, static_argnames=("model", "tri_size", "normalize", "binarize"))
+def _eval_batch_metrics(model, params, batch_stats, images, trimaps, tri_size,
+                        normalize, binarize):
+    """Predict + per-image IoU/acc for a whole batch in ONE dispatch (a
+    per-image metric loop costs a ~25ms relay round-trip per image). Module
+    level so the jit cache persists across eval calls."""
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+
+    x = _normalize_images(images) if normalize else images
+    logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+    preds = jnp.argmax(logits, axis=-1)
+    t = trimaps.astype(jnp.int32)
+    if tri_size is not None and t.shape[1] != tri_size:
+        t = resize_nearest(t, (tri_size, tri_size), torch_legacy=False, axes=(1, 2))
+    if binarize == "fg1":
+        true_fg = (t == 1).astype(jnp.int32)
+    else:
+        shifted = jnp.clip(t - 1, 0, None)
+        true_fg = 1 - jnp.clip(shifted, 0, 1)
+    if preds.shape[1] != true_fg.shape[1]:
+        preds = resize_nearest(preds, true_fg.shape[1:3], torch_legacy=True, axes=(1, 2))
+    return jax.vmap(compute_iou_and_acc)(preds, true_fg)
+
+
 def evaluate_multiclass(
     model,
     state: SegTrainState,
@@ -250,35 +274,16 @@ def evaluate_segmentation(
               'shifted_inverted' → the CutLoss.py:658-662 variant on shifted
               labels (fg = 1 - clip(t,0,1) after the (t-1) shift).
     """
-    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
-
-    @jax.jit
-    def predict(images):
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
-        )
-        return jnp.argmax(logits, axis=-1)
-
     ious, accs = [], []
     for batch in loader:
         x, _ = preprocess_batch(jnp.asarray(batch.image), None, size=seg_size)
-        if normalize:
-            x = _normalize_images(x)
-        preds = predict(x)
-        t = jnp.asarray(batch.trimap, jnp.int32)
-        if eval_size is not None and t.shape[1] != eval_size:
-            t = resize_nearest(t, (eval_size, eval_size), torch_legacy=False, axes=(1, 2))
-        if binarize == "fg1":
-            true_fg = (t == 1).astype(jnp.int32)
-        else:
-            shifted = jnp.clip(t - 1, 0, None)
-            true_fg = 1 - jnp.clip(shifted, 0, 1)
-        if preds.shape[1] != true_fg.shape[1]:
-            preds = resize_nearest(preds, true_fg.shape[1:3], torch_legacy=True, axes=(1, 2))
-        for i in range(batch.num_valid):
-            iou, acc = compute_iou_and_acc(preds[i], true_fg[i])
-            ious.append(float(iou))
-            accs.append(float(acc))
+        iou_b, acc_b = _eval_batch_metrics(
+            model, state.params, state.batch_stats, x, jnp.asarray(batch.trimap),
+            eval_size, normalize, binarize,
+        )
+        iou_b, acc_b = np.asarray(iou_b), np.asarray(acc_b)
+        ious.extend(float(v) for v in iou_b[: batch.num_valid])
+        accs.extend(float(v) for v in acc_b[: batch.num_valid])
     avg_iou = sum(ious) / len(ious)
     avg_acc = sum(accs) / len(accs)
     if log:
