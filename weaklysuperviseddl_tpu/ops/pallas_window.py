@@ -195,7 +195,13 @@ def _window_sum_grad(probs, images, sigma_color, sigma_space, window_size, inter
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def fused_window_sum(probs, images, sigma_color, sigma_space, window_size, interpret=False):
-    """Differentiable (w.r.t. probs) fused window-affinity sum."""
+    """Differentiable (w.r.t. probs ONLY) fused window-affinity sum.
+
+    WARNING: the custom VJP returns zero gradient for ``images`` — affinities
+    are treated as constants, matching every reference use (images are data,
+    never optimized; ref AlternatingDirectionCutLoss.py:745 passes the frozen
+    input). Use losses.window (XLA autodiff) if you ever need d/d(images).
+    """
     return _window_sum(probs, images, sigma_color, sigma_space, window_size, interpret)
 
 
