@@ -34,6 +34,62 @@ namespace {
 // ---------------------------------------------------------------------------
 class Permutohedral {
  public:
+  // flat open-addressing hash table over short[d] keys (a std::unordered_map
+  // of vector<short> keys measured ~4× slower on lattice construction)
+  struct FlatTable {
+    int d = 0;
+    size_t mask = 0;
+    std::vector<int> slots;       // lattice index or -1
+    std::vector<short>* keys = nullptr;  // flat key storage, d shorts per entry
+
+    void init(int dd, size_t expected, std::vector<short>* key_store) {
+      d = dd;
+      keys = key_store;
+      size_t cap = 16;
+      while (cap < expected * 2) cap <<= 1;
+      mask = cap - 1;
+      slots.assign(cap, -1);
+    }
+    static size_t hash_key(const short* k, int d) {
+      size_t h = 0x9e3779b97f4a7c15ull;
+      for (int i = 0; i < d; i++) {
+        h ^= (size_t)(unsigned short)k[i];
+        h *= 0x100000001b3ull;
+      }
+      return h;
+    }
+    bool equal(int idx, const short* k) const {
+      const short* stored = keys->data() + (size_t)idx * d;
+      for (int i = 0; i < d; i++)
+        if (stored[i] != k[i]) return false;
+      return true;
+    }
+    // find existing or insert (returns lattice index)
+    int find_or_insert(const short* k) {
+      size_t h = hash_key(k, d) & mask;
+      while (true) {
+        int s = slots[h];
+        if (s == -1) {
+          int idx = (int)(keys->size() / d);
+          keys->insert(keys->end(), k, k + d);
+          slots[h] = idx;
+          return idx;
+        }
+        if (equal(s, k)) return s;
+        h = (h + 1) & mask;
+      }
+    }
+    int find(const short* k) const {
+      size_t h = hash_key(k, d) & mask;
+      while (true) {
+        int s = slots[h];
+        if (s == -1) return -1;
+        if (equal(s, k)) return s;
+        h = (h + 1) & mask;
+      }
+    }
+  };
+
   void init(const float* positions, int N, int d) {
     N_ = N;
     d_ = d;
@@ -49,15 +105,9 @@ class Permutohedral {
     std::vector<int> rem0(d + 1), rank(d + 1);
     std::vector<short> key(d);
 
-    struct KeyHash {
-      size_t operator()(const std::vector<short>& k) const {
-        size_t h = 0;
-        for (short v : k) h = h * 2531011u + (size_t)(v + 32768);
-        return h;
-      }
-    };
-    std::unordered_map<std::vector<short>, int, KeyHash> table;
-    table.reserve((size_t)N * 2);
+    FlatTable table;
+    // worst case one new lattice vertex per (point, simplex corner)
+    table.init(d, (size_t)N * (d + 1), &keys_);
 
     for (int n = 0; n < N; n++) {
       const float* p = positions + (size_t)n * d;
@@ -114,15 +164,7 @@ class Permutohedral {
           short ci = (short)(rank[i] <= d - r ? rem0[i] + r : rem0[i] + r - (d + 1));
           key[i] = ci;
         }
-        auto it = table.find(key);
-        int idx;
-        if (it == table.end()) {
-          idx = (int)keys_.size() / d;
-          table.emplace(key, idx);
-          keys_.insert(keys_.end(), key.begin(), key.end());
-        } else {
-          idx = it->second;
-        }
+        int idx = table.find_or_insert(key.data());
         offsets_[(size_t)n * (d + 1) + r] = idx;
         weights_[(size_t)n * (d + 1) + r] = barycentric[r];
       }
@@ -144,10 +186,8 @@ class Permutohedral {
           np[j] = (short)(k[j] - d);
           nm[j] = (short)(k[j] + d);
         }
-        auto it1 = table.find(np);
-        auto it2 = table.find(nm);
-        blur_n1_[(size_t)j * M_ + i] = it1 == table.end() ? -1 : it1->second;
-        blur_n2_[(size_t)j * M_ + i] = it2 == table.end() ? -1 : it2->second;
+        blur_n1_[(size_t)j * M_ + i] = table.find(np.data());
+        blur_n2_[(size_t)j * M_ + i] = table.find(nm.data());
       }
     }
   }
