@@ -201,3 +201,33 @@ def test_cross_entropy_matches_torch():
     ref = float(F.cross_entropy(
         torch.from_numpy(logits).permute(0, 3, 1, 2), torch.from_numpy(labels).long()))
     assert abs(got - ref) < 1e-6
+
+
+def test_lovasz_softmax_per_image_matches_golden():
+    rng = np.random.default_rng(7)
+    B, H, W, C = 3, 6, 8, 2
+    probas = rng.uniform(0, 1, (B, H, W, C))
+    probas = (probas / probas.sum(-1, keepdims=True)).astype(np.float32)
+    labels = rng.integers(0, 2, (B, H, W)).astype(np.int32)
+    got = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels),
+                               classes="present", per_image=True))
+    refs = [numpy_lovasz_softmax_flat(
+        probas[i].reshape(-1, C).astype(np.float64), labels[i].reshape(-1), "present")
+        for i in range(B)]
+    assert abs(got - float(np.mean(refs))) < 1e-5
+
+
+def test_lovasz_hinge_ignore_matches_filtered():
+    rng = np.random.default_rng(8)
+    logits = rng.standard_normal((1, 10, 10)).astype(np.float32)
+    labels = rng.integers(0, 2, (1, 10, 10)).astype(np.float32)
+    labels[0, ::3] = 255.0  # void
+    got = float(lovasz_hinge(jnp.asarray(logits), jnp.asarray(labels),
+                             per_image=False, ignore=255))
+    keep = labels.ravel() != 255
+    lg, lb = logits.ravel()[keep].astype(np.float64), labels.ravel()[keep].astype(np.float64)
+    signs = 2 * lb - 1
+    errors = 1 - lg * signs
+    order = np.argsort(-errors, kind="stable")
+    ref = float(np.dot(np.maximum(errors[order], 0), numpy_lovasz_grad(lb[order])))
+    assert abs(got - ref) < 1e-5
