@@ -65,3 +65,20 @@ def test_ablation_grid_pipeline():
     assert all("iou_std" in s and s["iou_std"] >= 0 for s in summaries)
     runs = [r for r in results if "run_id" in r]
     assert len(runs) == 2  # 1 combo x 2 repeats
+
+
+def test_serving_predictor():
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=64)
+    pred = Predictor(model, state, size=64, max_batch=4, clean=True).warmup((48, 48))
+
+    imgs = (np.random.default_rng(0).uniform(0, 1, (3, 48, 48, 3)) * 255).astype(np.uint8)
+    masks = pred(imgs)  # ragged batch (3 < max_batch 4) reuses the program
+    assert masks.shape == (3, 64, 64)
+    assert set(np.unique(masks)).issubset({0, 1})
