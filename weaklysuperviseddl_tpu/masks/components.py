@@ -128,6 +128,16 @@ def keep_largest(mask: jnp.ndarray, max_iters: int | None = None):
     return ((labels == largest) & fg).astype(jnp.uint8)
 
 
-def keep_largest_batch(masks: jnp.ndarray, max_iters: int | None = None):
-    """vmap'd largest-component filter over [B,H,W]."""
+def keep_largest_batch(masks: jnp.ndarray, max_iters: int | None = None,
+                       backend: str = "auto"):
+    """Largest-component filter over [B,H,W].
+
+    backend='auto' uses the VMEM-resident Pallas kernel on TPU
+    (ops/pallas_cc.py — measured 1.3-1.5× over this XLA path with identical
+    outputs); 'xla' forces the vmapped while_loop version.
+    """
+    if backend == "auto" and jax.default_backend() == "tpu":
+        from weaklysuperviseddl_tpu.ops.pallas_cc import pallas_keep_largest_batch
+
+        return pallas_keep_largest_batch(masks, max_iters=max_iters)
     return jax.vmap(lambda m: keep_largest(m, max_iters=max_iters))(masks)
