@@ -50,20 +50,16 @@ def _gaussian_filter(values, sxy):
     return conv1d(conv1d(values, 0), 1)
 
 
-def _bilateral_grid_filter(values, image, sxy, srgb):
-    """Bilateral-grid Gaussian filter.
-
-    values [H,W,C]; image [H,W,3] in [0,255] float. Returns [H,W,C] ≈ s·K(values)
-    for an arbitrary constant s (cancelled by the symmetric normalization).
-    """
-    H, W, C = values.shape
-    # grid coordinates (offset +1 leaves a splat margin on every side)
+def _bilateral_precompute(image, sxy, srgb):
+    """Iteration-invariant splat/slice geometry: 32-corner multilinear indices
+    and weights for the 5-D bilateral grid (σ-sized cells, +1 margin)."""
+    H, W = image.shape[0], image.shape[1]
     fy = jnp.arange(H, dtype=jnp.float32)[:, None] / sxy + 1.0
     fx = jnp.arange(W, dtype=jnp.float32)[None, :] / sxy + 1.0
     fy = jnp.broadcast_to(fy, (H, W))
     fx = jnp.broadcast_to(fx, (H, W))
     fc = image / srgb + 1.0                                   # [H,W,3]
-    feats = jnp.stack([fy, fx, fc[..., 0], fc[..., 1], fc[..., 2]], axis=-1)  # [H,W,5]
+    feats = jnp.stack([fy, fx, fc[..., 0], fc[..., 1], fc[..., 2]], axis=-1)
 
     sizes = (
         int((H - 1) // sxy) + 3,
@@ -82,10 +78,8 @@ def _bilateral_grid_filter(values, image, sxy, srgb):
     flat = feats.reshape(-1, 5)
     lo = jnp.floor(flat).astype(jnp.int32)                    # [N,5]
     frac = flat - lo                                          # [N,5]
-    vals = values.reshape(-1, C)
 
-    # splat: 2^5 corners, multilinear weights
-    grid = jnp.zeros((total, C), jnp.float32)
+    idxs, ws = [], []
     for corner in range(32):
         bits = [(corner >> b) & 1 for b in range(5)]
         idx = jnp.zeros(flat.shape[0], jnp.int32)
@@ -94,7 +88,28 @@ def _bilateral_grid_filter(values, image, sxy, srgb):
             cd = lo[:, d] + bits[d]
             idx = idx + cd * strides[d]
             w = w * jnp.where(bits[d] == 1, frac[:, d], 1.0 - frac[:, d])
-        grid = grid.at[idx].add(vals * w[:, None])
+        idxs.append(idx)
+        ws.append(w)
+    return {
+        "idx": jnp.stack(idxs), "w": jnp.stack(ws),           # [32,N]
+        "sizes": sizes, "total": total, "H": H, "W": W,
+    }
+
+
+def _bilateral_grid_filter(values, pre):
+    """Bilateral-grid Gaussian filter with precomputed geometry.
+
+    values [H,W,C]. Returns [H,W,C] ≈ s·K(values) for an arbitrary constant s
+    (cancelled by the symmetric normalization).
+    """
+    H, W, C = values.shape
+    sizes, total = pre["sizes"], pre["total"]
+    vals = values.reshape(-1, C)
+
+    # splat: 2^5 corners, multilinear weights
+    grid = jnp.zeros((total, C), jnp.float32)
+    for corner in range(32):
+        grid = grid.at[pre["idx"][corner]].add(vals * pre["w"][corner][:, None])
 
     # blur [1,2,1] along each grid axis
     g = grid.reshape(sizes + (C,))
@@ -107,24 +122,21 @@ def _bilateral_grid_filter(values, image, sxy, srgb):
     grid = g.reshape(total, C)
 
     # slice
-    out = jnp.zeros((flat.shape[0], C), jnp.float32)
+    out = jnp.zeros((vals.shape[0], C), jnp.float32)
     for corner in range(32):
-        bits = [(corner >> b) & 1 for b in range(5)]
-        idx = jnp.zeros(flat.shape[0], jnp.int32)
-        w = jnp.ones(flat.shape[0], jnp.float32)
-        for d in range(5):
-            cd = lo[:, d] + bits[d]
-            idx = idx + cd * strides[d]
-            w = w * jnp.where(bits[d] == 1, frac[:, d], 1.0 - frac[:, d])
-        out = out + grid[idx] * w[:, None]
+        out = out + grid[pre["idx"][corner]] * pre["w"][corner][:, None]
     return out.reshape(H, W, C)
 
 
-def _sym_message(filter_fn, Q):
-    """Symmetric-normalized self-included message m = (1/√n)·K(Q/√n)."""
-    ones = jnp.ones(Q.shape[:-1] + (1,), jnp.float32)
+def _inv_sqrt_norm(filter_fn, shape_hw):
+    """1/√(K⊗1) — constant across mean-field iterations, compute once."""
+    ones = jnp.ones(shape_hw + (1,), jnp.float32)
     n = jnp.clip(filter_fn(ones), 1e-20, None)
-    inv_sqrt = jax.lax.rsqrt(n)
+    return jax.lax.rsqrt(n)
+
+
+def _sym_message(filter_fn, Q, inv_sqrt):
+    """Symmetric-normalized self-included message m = (1/√n)·K(Q/√n)."""
     return filter_fn(Q * inv_sqrt) * inv_sqrt
 
 
@@ -154,19 +166,27 @@ def densecrf_inference(
     def one(args):
         p, img = args
         unary = -jnp.log(jnp.clip(p, 1e-8, 1.0))
+        hw = p.shape[:-1]
 
         def gauss(v):
             return _gaussian_filter(v, gauss_sxy)
 
+        pre = _bilateral_precompute(img, bilat_sxy, bilat_srgb) if bilat_compat else None
+
         def bilat(v):
-            return _bilateral_grid_filter(v, img, bilat_sxy, bilat_srgb)
+            return _bilateral_grid_filter(v, pre)
+
+        # kernel norms are iteration-invariant: filtering ones 2× here instead
+        # of 2× per iteration halves the CRF cost at 5 iterations
+        gauss_inv = _inv_sqrt_norm(gauss, hw) if gauss_compat else None
+        bilat_inv = _inv_sqrt_norm(bilat, hw) if bilat_compat else None
 
         def body(Q, _):
             logits = -unary
             if gauss_compat:
-                logits = logits + gauss_compat * _sym_message(gauss, Q)
+                logits = logits + gauss_compat * _sym_message(gauss, Q, gauss_inv)
             if bilat_compat:
-                logits = logits + bilat_compat * _sym_message(bilat, Q)
+                logits = logits + bilat_compat * _sym_message(bilat, Q, bilat_inv)
             Q = jax.nn.softmax(logits, axis=-1)
             return Q, None
 
