@@ -34,6 +34,15 @@ def test_pallas_keep_largest_matches():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_keep_largest_backend_dispatch():
+    masks = np.stack([blobs(7), blobs(8)])
+    ref = np.asarray(keep_largest_batch(jnp.asarray(masks), backend="xla"))
+    auto = np.asarray(keep_largest_batch(jnp.asarray(masks)))  # cpu → xla path
+    np.testing.assert_array_equal(auto, ref)
+    with pytest.raises(ValueError):
+        keep_largest_batch(jnp.asarray(masks), backend="cuda")
+
+
 def test_pallas_cc_snake_and_diagonal():
     mask = np.zeros((16, 16), np.uint8)
     for r in range(0, 16, 2):

@@ -134,9 +134,12 @@ def keep_largest_batch(masks: jnp.ndarray, max_iters: int | None = None,
 
     backend='auto' uses the VMEM-resident Pallas kernel on TPU
     (ops/pallas_cc.py — measured 1.3-1.5× over this XLA path with identical
-    outputs); 'xla' forces the vmapped while_loop version.
+    outputs); 'pallas' forces the kernel; 'xla' forces the vmapped
+    while_loop version.
     """
-    if backend == "auto" and jax.default_backend() == "tpu":
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pallas" or (backend == "auto" and jax.default_backend() == "tpu"):
         from weaklysuperviseddl_tpu.ops.pallas_cc import pallas_keep_largest_batch
 
         return pallas_keep_largest_batch(masks, max_iters=max_iters)
