@@ -21,10 +21,12 @@ inside ``lax.while_loop`` until a fixed point. Matches skimage's default
 tried and measured 70× SLOWER on TPU: 50k-element gathers do not vectorize on
 the VPU. Scans + shifts are the TPU-native formulation.)
 
-Measured on v5e at 224², batch 32 (keep_largest incl. bincount+select):
-~5 ms/batch on realistic blobby CAM masks (few components, 2-3 iterations);
-~20 ms/batch on adversarial speckle masks (hundreds of components). The
-bincount largest-component selection is essentially free next to the scans.
+Measured on v5e at 224², batch 32: Pallas labeling ~3 ms/batch on realistic
+blobby CAM masks (2-3 fixed-point iterations), ~37 ms on adversarial speckle
+(vs 332 ms for this XLA path). Largest-component selection is sort-based
+(``largest_label_by_sort``): the former H*W-bin bincount lowered to a
+scatter-add costing 14 ms/batch — scatters don't vectorize on the VPU,
+sorts do (1.7 ms).
 """
 
 from __future__ import annotations
@@ -107,6 +109,27 @@ def label_components(mask: jnp.ndarray, max_iters: int | None = None):
     return jnp.where(fg, labels, -1)
 
 
+def largest_label_by_sort(labels: jnp.ndarray, num_labels: int) -> jnp.ndarray:
+    """Most-frequent nonnegative label in [H,W] ``labels`` (bg = -1).
+
+    One ``jnp.sort`` + run-length extraction instead of a ``num_labels``-bin
+    bincount: bincount lowers to scatter-add, which doesn't vectorize on the
+    TPU VPU (measured 14 ms/batch32 at 224² on v5e vs 1.7 ms for this path).
+    Ties resolve to the smallest label, matching argmax-over-bincount.
+    Returns ``num_labels`` (the sentinel) when there is no foreground.
+    """
+    flat = labels.ravel()
+    sent = jnp.int32(num_labels)
+    s = jnp.sort(jnp.where(flat >= 0, flat, sent))
+    idx = jnp.arange(flat.size, dtype=jnp.int32)
+    changed = s[1:] != s[:-1]
+    new_run = jnp.concatenate([jnp.ones((1,), bool), changed])
+    start = jax.lax.cummax(jnp.where(new_run, idx, 0))
+    is_end = jnp.concatenate([changed, jnp.ones((1,), bool)])
+    run_len = jnp.where(is_end & (s != sent), idx - start + 1, 0)
+    return s[jnp.argmax(run_len)]
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def keep_largest(mask: jnp.ndarray, max_iters: int | None = None):
     """Retain only the largest connected component (ref PsuedoMasks.py:15-21).
@@ -119,12 +142,7 @@ def keep_largest(mask: jnp.ndarray, max_iters: int | None = None):
     H, W = mask.shape
     labels = label_components(mask, max_iters=max_iters)
     fg = labels >= 0
-    counts = jnp.bincount(
-        jnp.where(fg, labels, 0).ravel(),
-        weights=fg.ravel().astype(jnp.int32),
-        length=H * W,
-    )
-    largest = jnp.argmax(counts)
+    largest = largest_label_by_sort(labels, H * W)
     return ((labels == largest) & fg).astype(jnp.uint8)
 
 

@@ -119,19 +119,16 @@ def _run(masks, max_iters, interpret):
 
 def pallas_keep_largest_batch(masks: jnp.ndarray, max_iters: int | None = None,
                               interpret: bool = False):
-    """Largest-component filter using the VMEM labeling kernel (bincount
-    selection stays in XLA — it's one cheap pass)."""
+    """Largest-component filter using the VMEM labeling kernel. Selection is
+    sort-based (masks/components.largest_label_by_sort): the former
+    H*W-bin bincount was a scatter-add costing 14 of the 17 ms/batch32."""
+    from weaklysuperviseddl_tpu.masks.components import largest_label_by_sort
+
     B, H, W = masks.shape
     labels = pallas_label_components_batch(masks, max_iters=max_iters, interpret=interpret)
 
     def select(lab):
-        fgm = lab >= 0
-        counts = jnp.bincount(
-            jnp.where(fgm, lab, 0).ravel(),
-            weights=fgm.ravel().astype(jnp.int32),
-            length=H * W,
-        )
-        largest = jnp.argmax(counts)
-        return ((lab == largest) & fgm).astype(jnp.uint8)
+        largest = largest_label_by_sort(lab, H * W)
+        return ((lab == largest) & (lab >= 0)).astype(jnp.uint8)
 
     return jax.vmap(select)(labels)
