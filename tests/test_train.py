@@ -100,6 +100,44 @@ def test_seg_lovasz_loss_path_runs():
     assert np.isfinite(loss)
 
 
+def test_fc_step_masks_padded_rows():
+    """A padded tail batch must (a) report train acc ≤100%, (b) produce the
+    identical fc update as the unpadded ragged batch (VERDICT r1 item 4)."""
+    model = CamClassifier(num_classes=4, depth=18, width_multiplier=0.25)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    frozen, fc = split_frozen(variables)
+    tx = optax.adam(1e-2)
+    step = make_fc_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (5, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 4, 5).astype(np.int32)
+
+    # padded to 8 by repeating the last row (what loader pad_to_full does)
+    xp = np.concatenate([x, np.repeat(x[-1:], 3, axis=0)])
+    yp = np.concatenate([y, np.repeat(y[-1:], 3)])
+    valid = jnp.arange(8) < 5
+
+    fc_p, _, loss_p, corr_p = step(
+        frozen, jax.tree.map(jnp.copy, fc), tx.init(fc),
+        jnp.asarray(xp), jnp.asarray(yp), valid)
+    fc_u, _, loss_u, corr_u = step(
+        frozen, jax.tree.map(jnp.copy, fc), tx.init(fc),
+        jnp.asarray(x), jnp.asarray(y))
+
+    assert int(corr_p) <= 5  # acc over num_valid can't exceed 100%
+    assert int(corr_p) == int(corr_u)
+    np.testing.assert_allclose(float(loss_p), float(loss_u), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(fc_p), jax.tree.leaves(fc_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # eval counters likewise ignore padding
+    from weaklysuperviseddl_tpu.utils.metrics import classification_counts
+    preds = jnp.asarray(yp)  # pretend perfect predictions
+    c = classification_counts(preds, jnp.asarray(yp), 4, valid=valid)
+    assert int(c["total"]) == 5 and int(c["correct"]) == 5
+
+
 def test_sharded_fc_step_matches_single_device():
     """The same jit'd step on an 8-device data mesh produces the same update."""
     assert len(jax.devices()) == 8

@@ -28,22 +28,34 @@ from weaklysuperviseddl_tpu.utils.metrics import (
 
 
 def make_fc_train_step(model, tx):
-    """Build a jit'd step: grads w.r.t. fc params only."""
+    """Build a jit'd step: grads w.r.t. fc params only.
+
+    ``valid`` ([B] bool, optional) masks padded rows (loader ``pad_to_full``)
+    out of both the loss mean and the ``correct`` counter, mirroring the seg
+    step — otherwise a duplicated tail example over-weights the gradient and
+    train accuracy can exceed 100%.
+    """
 
     @partial(jax.jit, donate_argnums=(1, 2))
-    def step(frozen, fc_params, opt_state, images, labels):
+    def step(frozen, fc_params, opt_state, images, labels, valid=None):
+        w = (jnp.ones(labels.shape[0], jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+
         def loss_fn(fc_p):
             variables = {
                 "params": {**frozen["params"], "fc": fc_p},
                 "batch_stats": frozen["batch_stats"],
             }
             logits, _ = model.apply(variables, images)
-            return cross_entropy_loss(logits, labels), logits
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+            nll = -jnp.sum(logp * onehot, axis=-1)  # [B]
+            return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(fc_params)
         updates, opt_state = tx.update(grads, opt_state, fc_params)
         fc_params = optax.apply_updates(fc_params, updates)
-        correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+        correct = jnp.sum((jnp.argmax(logits, axis=1) == labels) * w).astype(jnp.int32)
         return fc_params, opt_state, loss, correct
 
     return step
@@ -91,7 +103,10 @@ def train_fc_only(
                 jnp.asarray(batch.image), None, size=image_size, interpolation=interpolation
             )
             labels = jnp.asarray(batch.label)
-            fc_params, opt_state, loss, corr = step(frozen, fc_params, opt_state, x, labels)
+            valid = jnp.arange(labels.shape[0]) < batch.num_valid
+            fc_params, opt_state, loss, corr = step(
+                frozen, fc_params, opt_state, x, labels, valid
+            )
             bsz = batch.num_valid
             total_loss += float(loss) * bsz
             correct += int(corr)
@@ -119,17 +134,18 @@ def evaluate_classification(
     (ref ClassificationModel.py:109-150)."""
 
     @partial(jax.jit)
-    def counts_step(images, labels):
+    def counts_step(images, labels, valid):
         logits, _ = model.apply(variables, images)
         preds = jnp.argmax(logits, axis=1)
-        return classification_counts(preds, labels, num_classes)
+        return classification_counts(preds, labels, num_classes, valid=valid)
 
     acc = None
     for batch in loader:
         x, _ = preprocess_batch(
             jnp.asarray(batch.image), None, size=image_size, interpolation=interpolation
         )
-        c = counts_step(x, jnp.asarray(batch.label))
+        valid = jnp.arange(batch.image.shape[0]) < batch.num_valid
+        c = counts_step(x, jnp.asarray(batch.label), valid)
         acc = c if acc is None else jax.tree.map(jnp.add, acc, c)
     accuracy, macro_f1 = finish_macro_f1(acc)
     accuracy, macro_f1 = float(accuracy), float(macro_f1)

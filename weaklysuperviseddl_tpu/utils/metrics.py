@@ -51,11 +51,14 @@ def finish_iou_and_acc(counts):
     return iou, acc
 
 
-def classification_counts(preds: jnp.ndarray, labels: jnp.ndarray, num_classes: int):
+def classification_counts(preds: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
+                          valid: jnp.ndarray | None = None):
     """Per-class TP/FP/FN counters + correct/total, as in reference
-    ClassificationModel.py:116-139 (accumulated over batches, then reduced)."""
-    one_hot_pred = jnp.arange(num_classes)[None, :] == preds[:, None]
-    one_hot_true = jnp.arange(num_classes)[None, :] == labels[:, None]
+    ClassificationModel.py:116-139 (accumulated over batches, then reduced).
+    ``valid`` ([B] bool) excludes padded rows from every counter."""
+    v = (jnp.ones(labels.shape[0], bool) if valid is None else valid)[:, None]
+    one_hot_pred = (jnp.arange(num_classes)[None, :] == preds[:, None]) & v
+    one_hot_true = (jnp.arange(num_classes)[None, :] == labels[:, None]) & v
     tp = jnp.sum(one_hot_pred & one_hot_true, axis=0)
     fp = jnp.sum(one_hot_pred & ~one_hot_true, axis=0)
     fn = jnp.sum(~one_hot_pred & one_hot_true, axis=0)
@@ -63,8 +66,8 @@ def classification_counts(preds: jnp.ndarray, labels: jnp.ndarray, num_classes: 
         "tp": tp,
         "fp": fp,
         "fn": fn,
-        "correct": jnp.sum(preds == labels),
-        "total": jnp.asarray(labels.shape[0], jnp.int32),
+        "correct": jnp.sum((preds == labels) & v[:, 0]),
+        "total": jnp.sum(v[:, 0]).astype(jnp.int32),
     }
 
 
