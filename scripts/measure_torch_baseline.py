@@ -134,16 +134,72 @@ def measure_seg(n_images: int, batch: int = 4):
     return iters * batch / dt
 
 
+def _torch_ncut(preds_nchw, images_nchw, sigma_color=0.1, window=5):
+    """Reference LocalNormalizedCutLoss semantics
+    (AlternatingDirectionCutLoss.py:65-105): 24-offset shifted-slice sum."""
+    B, C, H, W = preds_nchw.shape
+    pad = window // 2
+    probs = F.softmax(preds_nchw, dim=1)
+    probs_p = F.pad(probs, (pad,) * 4, mode="reflect")
+    img_p = F.pad(images_nchw, (pad,) * 4, mode="reflect")
+    loss, count = 0.0, 0
+    for dy in range(-pad, pad + 1):
+        for dx in range(-pad, pad + 1):
+            if dy == 0 and dx == 0:
+                continue
+            sp = probs_p[:, :, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            si = img_p[:, :, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            aff = torch.exp(-(images_nchw - si).pow(2).sum(1, keepdim=True) / (2 * sigma_color**2))
+            for c in range(C):
+                loss = loss + (aff * (probs[:, c : c + 1] - sp[:, c : c + 1]) ** 2).mean()
+            count += 1
+    return loss / (count * C)
+
+
+def measure_refine(n_images: int, num_steps: int = 10, size: int = 256):
+    """Per-image alternating-direction refinement — the reference's hottest
+    loop (AlternatingDirectionCutLoss.py:709-767): Adam on a one-hot mask
+    variable X, KL(softmax(X)‖S) + λ_dyn·ncut(softmax(X), image)."""
+    rng = np.random.default_rng(2)
+
+    def one():
+        S = torch.from_numpy(rng.uniform(0.1, 1, (1, 2, size, size)).astype(np.float32))
+        S = S / S.sum(1, keepdim=True)
+        img = torch.from_numpy(rng.uniform(-1, 1, (1, 3, size, size)).astype(np.float32))
+        mask = torch.from_numpy((rng.uniform(0, 1, (size, size)) > 0.5).astype(np.int64))
+        X = F.one_hot(mask, 2).permute(2, 0, 1).float().unsqueeze(0).requires_grad_(True)
+        opt = torch.optim.Adam([X], lr=1e-2)
+        for _ in range(num_steps):
+            opt.zero_grad()
+            Xn = F.softmax(X, dim=1)
+            loss_kl = F.kl_div((Xn + 1e-8).log(), S, reduction="batchmean")
+            loss_b = _torch_ncut(Xn, img)
+            lam = 0.1 * (loss_kl.item() / (loss_b.item() + 1e-6))
+            (loss_kl + lam * loss_b).backward()
+            opt.step()
+        return (F.softmax(X, dim=1)[0, 1] > 0.5).to(torch.uint8)
+
+    one()  # warm
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        one()
+    return n_images / (time.perf_counter() - t0)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     torch.set_num_threads(os.cpu_count() or 1)
     cam_rate = measure_cam(n)
     seg_rate = measure_seg(n)
+    refine_rate = measure_refine(max(2, n // 2))
     cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
+    cycle3 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
     out = {
         "torch_cpu_cam_img_per_s": cam_rate,
         "torch_cpu_seg_train_img_per_s": seg_rate,
+        "torch_cpu_refine_img_per_s": refine_rate,
         "torch_cpu_cycle_img_per_s": cycle,
+        "torch_cpu_cycle3_img_per_s": cycle3,
         "n_images": n,
         "threads": torch.get_num_threads(),
         "torch_version": torch.__version__,

@@ -168,6 +168,50 @@ def test_sharded_fc_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_dp_tp_seg_step_matches_single_device():
+    """create_seg_state(mesh=4x2) + batch-sharded step == unsharded step:
+    tensor parallelism as a config path (VERDICT r1 item 6)."""
+    from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(data=4, model=2)
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+
+    state_s, tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    state_m, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=32, mesh=mesh)
+    # verify the TP layout is actually applied to at least one conv kernel
+    shardings = {
+        str(l.sharding.spec) for l in jax.tree.leaves(state_m.params)
+        if hasattr(l, "sharding") and hasattr(l.sharding, "spec")
+    }
+    assert any("model" in s for s in shardings), shardings
+
+    # SGD for the parity step: after one Adam step every param moves by ±lr
+    # (m/sqrt(v) ≈ sign(g)), so reduction-order noise flips near-zero grads
+    # and param comparison becomes meaningless; SGD keeps diffs ∝ grad diffs.
+    from weaklysuperviseddl_tpu.parallel.mesh import shard_params_tp
+
+    tx2 = optax.sgd(1e-2)
+    step = make_seg_train_step(model, tx2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    m = jnp.asarray(rng.integers(0, 2, (8, 32, 32)).astype(np.int32))
+    v = jnp.ones((8,), bool)
+    key = jax.random.PRNGKey(7)
+
+    p1, _, _, loss1 = step(state_s.params, state_s.batch_stats, tx2.init(state_s.params),
+                           x, m, v, key)
+    xs = jax.device_put(x, batch_sharding(mesh, 4))
+    ms = jax.device_put(m, batch_sharding(mesh, 3))
+    vs = jax.device_put(v, batch_sharding(mesh, 1))
+    p2, _, _, loss2 = step(state_m.params, state_m.batch_stats,
+                           shard_params_tp(mesh, tx2.init(state_m.params)),
+                           xs, ms, vs, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
 def test_sharded_eval_matches_counters():
     """SPMD sharded eval (psum'd confusion counters) == single-device eval."""
     import jax

@@ -55,3 +55,40 @@ def replicate_tree(mesh: Mesh, tree):
     """Replicate a pytree (e.g. model variables) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def mesh_from_config(mesh_cfg) -> Mesh | None:
+    """Mesh from a config.MeshConfig; None on a single device with no model
+    axis requested (keeps the common single-chip path sharding-free)."""
+    n = len(jax.devices())
+    if n == 1 and mesh_cfg.model == 1:
+        return None
+    return make_mesh(data=mesh_cfg.data, model=mesh_cfg.model)
+
+
+def tp_leaf_sharding(mesh: Mesh, x, min_channels: int = 64) -> NamedSharding:
+    """Tensor-parallel sharding rule for one parameter leaf: shard the
+    output-channel (last) axis of conv/dense kernels on 'model' when it
+    divides evenly and is large enough to be worth the collective; replicate
+    everything else (biases, BN scales, small kernels).
+
+    This is the single TP policy for the whole framework — create_seg_state,
+    the pipelines and __graft_entry__.dryrun_multichip all route through it,
+    so the driver dryrun exercises the production layout.
+    """
+    model_axis = mesh.shape.get("model", 1)
+    if model_axis == 1:
+        return NamedSharding(mesh, P())
+    if (
+        hasattr(x, "ndim") and x.ndim >= 2
+        and x.shape[-1] % model_axis == 0 and x.shape[-1] >= min_channels
+    ):
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), "model"))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_tp(mesh: Mesh, tree, min_channels: int = 64):
+    """device_put a parameter/optimizer pytree with the TP layout above."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, tp_leaf_sharding(mesh, x, min_channels)), tree
+    )

@@ -98,6 +98,11 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
     log(f"Pseudo masks generated: {len(store)}")
 
     # --- stage 4: DeepLabV3 on pseudo-masks ----------------------------------
+    # SPMD: batch on 'data', conv output channels on 'model' (MeshConfig —
+    # dp×tp as configuration, parity tested in tests/test_train.py)
+    from weaklysuperviseddl_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg.mesh)
     seg_model = DeepLabV3(
         num_classes=cfg.seg.num_classes,
         backbone_depth=cfg.seg.backbone_depth,
@@ -105,13 +110,15 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
         dtype=jnp.dtype(cfg.seg.dtype),
     )
     seg_state, tx = create_seg_state(
-        seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size, lr=cfg.seg.lr
+        seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size,
+        lr=cfg.seg.lr, mesh=mesh,
     )
     images, masks, _ = store.as_arrays()
     seg_state, final_loss = train_segmentation_model(
         seg_model, seg_state, tx, images, masks,
         loss_fn=cfg.seg.loss_fn, num_epochs=cfg.seg.epochs,
-        batch_size=cfg.seg.batch_size, seg_size=d.seg_size, seed=cfg.seed, log=log,
+        batch_size=cfg.seg.batch_size, seg_size=d.seg_size, seed=cfg.seed,
+        mesh=mesh, log=log,
     )
 
     # --- stage 5: eval vs true trimaps ---------------------------------------
@@ -146,9 +153,12 @@ def run_weakly_supervised_alternating(
             seg_size=d.seg_size, eval_size=d.image_size,
         )
 
+    from weaklysuperviseddl_tpu.parallel.mesh import mesh_from_config
+
     state, store = run_alternating_training(
         seg_model, result.seg_state, tx, result.mask_store, cfg,
-        eval_fn=eval_fn, checkpoint_dir=checkpoint_dir, log=log,
+        eval_fn=eval_fn, checkpoint_dir=checkpoint_dir,
+        mesh=mesh_from_config(cfg.mesh), log=log,
     )
     iou, acc = eval_fn(state)
     result.seg_state = state

@@ -76,6 +76,7 @@ def run_alternating_training(
     eval_fn=None,
     checkpoint_dir: str | None = None,
     start_iteration: int = 0,
+    mesh=None,
     log=print,
 ):
     """Outer alternating loop (ref AlternatingDirectionCutLoss.py:791-818).
@@ -92,7 +93,7 @@ def run_alternating_training(
             seg_model, state, tx, *store.as_arrays()[:2],
             loss_fn=cfg.seg.loss_fn, num_epochs=alt.epochs_per_round,
             batch_size=cfg.seg.batch_size, seg_size=cfg.data.seg_size,
-            seed=cfg.seed + iteration, run_id=f"alt{iteration}", log=log,
+            seed=cfg.seed + iteration, run_id=f"alt{iteration}", mesh=mesh, log=log,
         )
         if eval_fn is not None:
             avg_iou, avg_acc = eval_fn(state)

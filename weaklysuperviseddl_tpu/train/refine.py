@@ -122,6 +122,19 @@ def refine_from_soft_predictions(
     return refined, jnp.mean(totals)
 
 
+def refine_from_soft_predictions_sharded(
+    S, images, masks, mesh, axis: str = "data", **kwargs
+):
+    """Opt-in large-image path: same refinement with H sharded across the
+    mesh (halo-exchange window term, psum'd KL) — for images whose working
+    set exceeds one chip. Semantics match refine_from_soft_predictions
+    (tested at 1024² on the CPU mesh, tests/test_spatial_sharding.py)."""
+    from weaklysuperviseddl_tpu.parallel.spatial import refine_spatial_sharded
+
+    kwargs.pop("use_pallas", None)  # sharded path is XLA-only
+    return refine_spatial_sharded(S, images, masks, mesh, axis=axis, **kwargs)
+
+
 def refine_pseudo_masks(
     model,
     params,

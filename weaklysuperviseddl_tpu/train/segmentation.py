@@ -39,11 +39,17 @@ class SegTrainState:
 
 def create_seg_state(
     model, rng, input_size: int, lr: float = 1e-4, batch: int = 2,
-    guard_nonfinite: bool = True,
+    guard_nonfinite: bool = True, mesh=None,
 ):
     """``guard_nonfinite`` wraps the optimizer in optax.apply_if_finite: a
     step whose gradients contain NaN/inf is skipped instead of poisoning the
-    params — minimal failure detection the reference lacks (SURVEY.md §5)."""
+    params — minimal failure detection the reference lacks (SURVEY.md §5).
+
+    ``mesh``: a ('data','model') Mesh. When given, parameters and optimizer
+    state are laid out with the framework TP policy (conv/dense output
+    channels sharded on 'model', parallel.mesh.tp_leaf_sharding) and batch
+    stats replicated — tensor parallelism as a config path, not special code.
+    """
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         jnp.zeros((batch, input_size, input_size, 3)),
@@ -52,12 +58,17 @@ def create_seg_state(
     tx = optax.adam(lr)
     if guard_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    if mesh is not None:
+        from weaklysuperviseddl_tpu.parallel.mesh import replicate_tree, shard_params_tp
+
+        params = shard_params_tp(mesh, params)
+        batch_stats = replicate_tree(mesh, batch_stats)
+        opt_state = shard_params_tp(mesh, opt_state)
     return (
-        SegTrainState(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
-        ),
+        SegTrainState(params=params, batch_stats=batch_stats, opt_state=opt_state),
         tx,
     )
 
@@ -123,13 +134,30 @@ def train_segmentation_model(
     seed: int = 0,
     run_id: str = "default",
     eval_fn=None,
+    mesh=None,
     log=print,
 ):
     """Epoch loop over an in-memory pseudo-mask dataset (the fast path
     replacing the reference's PNG-dir DataLoader). Matches the printout
-    contract of SegmentationModel.py:116-120. Returns (state, final_loss)."""
+    contract of SegmentationModel.py:116-120. Returns (state, final_loss).
+
+    ``mesh``: batch goes on the 'data' axis (params should already carry the
+    TP layout from create_seg_state(mesh=...)); XLA inserts the collectives.
+    """
     step = make_seg_train_step(model, tx, loss_fn)
     n = images.shape[0]
+    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
+    if mesh is not None and batch_size % data_axis == 0:
+        from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding
+
+        _shard_in = lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim))
+    else:
+        # indivisible batch (smoke scale): params keep their mesh layout,
+        # inputs stay unsharded — XLA still produces the same result
+        if mesh is not None and batch_size % data_axis != 0:
+            log(f"[Run {run_id}] batch {batch_size} not divisible by data axis "
+                f"{data_axis}; inputs left unsharded")
+        _shard_in = lambda a: a
     rng = np.random.default_rng(seed)
     dropout_key = jax.random.PRNGKey(seed + 1)
     final_loss = 0.0
@@ -150,6 +178,7 @@ def train_segmentation_model(
 
                 m = resize_nearest(m, (seg_size, seg_size), torch_legacy=False, axes=(1, 2))
             valid = jnp.arange(batch_size) < num_valid
+            x, m, valid = _shard_in(x), _shard_in(m), _shard_in(valid)
             dropout_key, sub = jax.random.split(dropout_key)
             state.params, state.batch_stats, state.opt_state, l = step(
                 state.params, state.batch_stats, state.opt_state, x, m, valid, sub
