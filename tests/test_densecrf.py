@@ -49,11 +49,84 @@ def test_jax_grid_matches_brute_force():
     img, _, probs, unary = make_case(1)
     q_exact = native.densecrf(unary, img, exact=True, **PARAMS)
     q_jax = np.asarray(densecrf_inference(
-        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None], **PARAMS))[0]
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="grid", **PARAMS))[0]
     mae = np.abs(q_exact - q_jax).mean()
     agree = (q_exact.argmax(-1) == q_jax.argmax(-1)).mean()
     assert mae < 0.05, mae
     assert agree > 0.97, agree
+
+
+def test_jax_attention_matches_brute_force():
+    """Default device bilateral backend: exact MXU kernel attention. This is
+    the same O(N²) math as the golden, so tolerance is float-level, not the
+    approximation tolerance the lattice/grid backends need."""
+    img, _, probs, unary = make_case(1)
+    q_exact = native.densecrf(unary, img, exact=True, **PARAMS)
+    q_jax = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="attention", **PARAMS))[0]
+    mae = np.abs(q_exact - q_jax).mean()
+    agree = (q_exact.argmax(-1) == q_jax.argmax(-1)).mean()
+    assert mae < 1e-4, mae
+    assert agree == 1.0, agree
+
+
+def test_pallas_bilateral_matches_xla():
+    """The Pallas flash-style kernel (interpret mode off-TPU) vs the plain XLA
+    formulation, including a ragged N that exercises key-block masking."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
+        gaussian_filter_pallas, gaussian_filter_xla)
+    rng = np.random.default_rng(5)
+    N = 700  # not a multiple of either block size
+    feats = jnp.asarray(rng.uniform(0, 30, (N, 5)).astype(np.float32))
+    vals = jnp.asarray(rng.uniform(size=(N, 2)).astype(np.float32))
+    ref = np.asarray(gaussian_filter_xla(feats, vals))
+    got = np.asarray(gaussian_filter_pallas(feats, vals, interpret=True))
+    rel = np.abs(got - ref) / np.abs(ref).clip(1e-9)
+    assert rel.mean() < 5e-3, rel.mean()  # bf16 value matmul tolerance
+
+
+def test_jax_lattice_matches_brute_force():
+    """Default device bilateral backend: the sort-based permutohedral lattice."""
+    img, _, probs, unary = make_case(1)
+    q_exact = native.densecrf(unary, img, exact=True, **PARAMS)
+    q_jax = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="lattice", **PARAMS))[0]
+    mae = np.abs(q_exact - q_jax).mean()
+    agree = (q_exact.argmax(-1) == q_jax.argmax(-1)).mean()
+    assert mae < 0.05, mae
+    assert agree > 0.97, agree
+
+
+def test_jax_lattice_matches_cpp_lattice_filter():
+    """The device lattice is the same construction as the C++ host lattice:
+    raw filter outputs must agree to float tolerance (up to the constant
+    variance-compensation alpha the C++ path applies)."""
+    from weaklysuperviseddl_tpu.masks.permutohedral import (
+        permutohedral_precompute, permutohedral_filter)
+    rng = np.random.default_rng(7)
+    H, W = 20, 22
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    sxy, srgb = 6.0, 20.0
+    y, x = np.mgrid[0:H, 0:W].astype(np.float32)
+    feats = np.stack([x / sxy, y / sxy, img[..., 0] / srgb,
+                      img[..., 1] / srgb, img[..., 2] / srgb], -1).reshape(-1, 5)
+    vals = rng.uniform(size=(H * W, 2)).astype(np.float32)
+    cpp = native.permutohedral_filter(feats, vals)
+    pre = permutohedral_precompute(jnp.asarray(feats))
+    mine = np.asarray(permutohedral_filter(jnp.asarray(vals), pre))
+    alpha = 1.0 / (1.0 + 2.0 ** -5)  # wsdl_native.cpp:227
+    rel = (np.abs(mine * alpha - cpp) / np.abs(cpp).clip(1e-9)).mean()
+    assert rel < 1e-3, rel
+
+
+def test_lattice_rejects_out_of_range_keys():
+    probs = jnp.full((1, 8, 8, 2), 0.5)
+    img = jnp.zeros((1, 8, 8, 3))
+    with pytest.raises(ValueError, match="packed-key range"):
+        densecrf_inference(probs, img, bilat_srgb=0.05, bilat_backend="lattice")
 
 
 def test_crf_cleans_noise_and_respects_edges():

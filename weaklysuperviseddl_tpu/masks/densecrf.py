@@ -12,10 +12,21 @@ so each path's filter may carry an arbitrary constant scale), Potts update
 Q ← softmax(−U + Σ_k w_k·m_k). The filters differ only in approximation:
 
   * Gaussian (small σ_xy): exact truncated separable convolution.
-  * Bilateral (σ_xy≈50, σ_rgb≈5): bilateral grid (Chen et al.) — multilinear
-    splat of (Q, 1) into a 5-D grid with σ-sized cells, [1,2,1] blur along
-    each grid axis, multilinear slice. The C++ permutohedral lattice plays
-    the same role on the host; the O(N²) brute force is the test golden.
+  * Bilateral (σ_xy≈50, σ_rgb≈5), three device backends:
+      - "attention" (default): EXACT O(N²) kernel attention on the MXU
+        (ops/pallas_bilateral.py) — the bilateral filter *is* unnormalized
+        flash attention with queries = keys = the bilateral features. No
+        approximation: it computes the brute-force golden itself. Measured
+        fastest by a wide margin on TPU (BASELINE.md).
+      - "lattice": sort-based permutohedral lattice (masks/permutohedral.py)
+        — the same Adams et al. construction as the C++ host path, hash table
+        replaced by a sort + binary-search join. Matches the host lattice to
+        1e-4 but its gather-bound structure is slow on TPU; kept as the
+        O(N)-scaling option for resolutions where O(N²) stops being free.
+      - "grid": bilateral grid (Chen et al.) — multilinear splat into a 5-D
+        grid, [1,2,1] blur per axis, multilinear slice. Its 32-corner
+        scatter-add splat is the measured bottleneck at reference params.
+    The O(N²) brute force (native, exact=True) is the test golden for all.
 
 Everything jits; batch handled by lax.map over images (grids are large).
 """
@@ -26,6 +37,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from weaklysuperviseddl_tpu.masks.permutohedral import (
+    coordinate_bound,
+    permutohedral_precompute,
+    permutohedral_filter,
+    _COORD_MAX,
+)
+from weaklysuperviseddl_tpu.ops.pallas_bilateral import gaussian_filter
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +166,8 @@ def _sym_message(filter_fn, Q, inv_sqrt):
 @partial(
     jax.jit,
     static_argnames=(
-        "gauss_sxy", "gauss_compat", "bilat_sxy", "bilat_srgb", "bilat_compat", "n_iters"
+        "gauss_sxy", "gauss_compat", "bilat_sxy", "bilat_srgb", "bilat_compat",
+        "n_iters", "bilat_backend",
     ),
 )
 def densecrf_inference(
@@ -159,9 +179,24 @@ def densecrf_inference(
     bilat_srgb: float = 5.0,
     bilat_compat: float = 10.0,
     n_iters: int = 5,
+    bilat_backend: str = "attention",
 ):
     """Mean-field marginals [B,H,W,L]."""
     images = images.astype(jnp.float32)
+    if bilat_backend not in ("attention", "lattice", "grid"):
+        raise ValueError(f"unknown bilat_backend {bilat_backend!r}")
+    H, W = probs.shape[1:3]
+    if bilat_backend == "lattice" and bilat_compat:
+        # static coordinate-range check for the 12-bit key packing
+        bound = coordinate_bound(
+            [(W - 1) / bilat_sxy, (H - 1) / bilat_sxy] + [255.0 / bilat_srgb] * 3
+        )
+        if bound > _COORD_MAX:
+            raise ValueError(
+                f"lattice coordinates may exceed the packed-key range "
+                f"(bound {bound} > {_COORD_MAX}); use bilat_backend='grid' "
+                f"or larger sigmas"
+            )
 
     def one(args):
         p, img = args
@@ -171,10 +206,29 @@ def densecrf_inference(
         def gauss(v):
             return _gaussian_filter(v, gauss_sxy)
 
-        pre = _bilateral_precompute(img, bilat_sxy, bilat_srgb) if bilat_compat else None
+        feats = None
+        pre = None
+        if bilat_compat:
+            if bilat_backend == "grid":
+                pre = _bilateral_precompute(img, bilat_sxy, bilat_srgb)
+            else:
+                yy = jnp.arange(hw[0], dtype=jnp.float32)[:, None] / bilat_sxy
+                xx = jnp.arange(hw[1], dtype=jnp.float32)[None, :] / bilat_sxy
+                feats = jnp.stack(
+                    [jnp.broadcast_to(xx, hw), jnp.broadcast_to(yy, hw)]
+                    + [img[..., c] / bilat_srgb for c in range(3)],
+                    axis=-1,
+                ).reshape(-1, 5)
+                if bilat_backend == "lattice":
+                    pre = permutohedral_precompute(feats)
 
         def bilat(v):
-            return _bilateral_grid_filter(v, pre)
+            C = v.shape[-1]
+            if bilat_backend == "grid":
+                return _bilateral_grid_filter(v, pre)
+            if bilat_backend == "lattice":
+                return permutohedral_filter(v.reshape(-1, C), pre).reshape(v.shape)
+            return gaussian_filter(feats, v.reshape(-1, C)).reshape(v.shape)
 
         # kernel norms are iteration-invariant: filtering ones 2× here instead
         # of 2× per iteration halves the CRF cost at 5 iterations

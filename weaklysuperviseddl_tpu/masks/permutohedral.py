@@ -1,0 +1,253 @@
+"""Sort-based permutohedral lattice: high-dimensional Gaussian filtering on TPU.
+
+Device twin of the C++ host lattice (native/wsdl_native.cpp, Adams et al. 2010)
+used by the dense-CRF bilateral message pass — the TPU-native replacement for
+the reference's pydensecrf permutohedral filter
+(AlternatingDirectionCutLoss.py:183-204 calls addPairwiseBilateral, which is a
+5-D Gaussian filter under the hood).
+
+TPU-first design (no hash table, no scatter-add):
+
+  * The enclosing-simplex search (elevate → round to nearest remainder-0 point
+    → rank differential → barycentric weights) is pure vectorized math over
+    all N pixels at once.
+  * The hash table becomes a **sort**: all N·(d+1) splat entries are sorted by
+    packed lattice key (``jax.lax.sort`` with lexicographic integer keys);
+    equal-key runs are the lattice vertices. Run ids come from a cumsum over
+    run starts, so every shape stays static.
+  * Per-vertex splat sums use the round-1 lesson (BASELINE.md: replace
+    scatter/gather with sort/scan): a cumulative sum over the sorted entries
+    plus two gathers at run boundaries — no scatter-add collisions.
+  * Blur neighbors along the d+1 lattice directions are resolved ONCE per
+    image by a vectorized lower-bound binary search over the sorted keys;
+    mean-field iterations then reuse the precomputed neighbor indices, so each
+    filter call is just gathers + a cumsum (the geometry is iteration-
+    invariant, like the C++ lattice's offsets_/blur_n1_/blur_n2_).
+
+The filter carries an arbitrary constant scale (blur [1,2,1] is unnormalized,
+variance-compensation alpha omitted) — exactly cancelled by the symmetric
+kernel normalization in masks/densecrf.py, which is shared with the C++ brute
+force golden and lattice paths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# 12-bit packed coordinates: two lattice coordinates per int32 sort key.
+_COORD_BITS = 12
+_COORD_OFF = 1 << (_COORD_BITS - 1)          # 2048
+_COORD_MAX = _COORD_OFF - 1                  # 2047
+
+
+def coordinate_bound(max_abs_features) -> int:
+    """Static upper bound on lattice coordinate magnitude for features with
+    per-dimension absolute bounds ``max_abs_features`` (list of d floats).
+
+    elevated_i is a ±combination of the scaled features, so |elevated| ≤
+    Σ_i scale_i·(i+1)·max|f_i| is a safe bound; rounding to the nearest
+    remainder-0 point and the canonical wrap add at most 2·(d+1).
+    """
+    d = len(max_abs_features)
+    inv_std = math.sqrt(2.0 / 3.0) * (d + 1)
+    bound = 0.0
+    for i, mf in enumerate(max_abs_features):
+        scale = inv_std / math.sqrt((i + 1) * (i + 2))
+        bound += scale * (i + 1) * float(mf)
+    return int(math.ceil(bound)) + 2 * (d + 1)
+
+
+def _pack_keys(keys):
+    """[..., d] int32 lattice coordinates → tuple of packed int32 sort keys,
+    two coordinates per key (12 bits each), lexicographic order preserved."""
+    d = keys.shape[-1]
+    shifted = jnp.clip(keys + _COORD_OFF, 0, 2 * _COORD_OFF - 1)
+    packed = []
+    for a in range(0, d, 2):
+        hi = shifted[..., a]
+        lo = shifted[..., a + 1] if a + 1 < d else jnp.zeros_like(hi)
+        packed.append(hi * (1 << _COORD_BITS) + lo)
+    return tuple(packed)
+
+
+def _lex_less(a, b):
+    """Lexicographic a < b over tuples of equal-length int arrays."""
+    less = jnp.zeros(a[0].shape, bool)
+    eq = jnp.ones(a[0].shape, bool)
+    for x, y in zip(a, b):
+        less = less | (eq & (x < y))
+        eq = eq & (x == y)
+    return less
+
+
+def _lex_eq(a, b):
+    eq = jnp.ones(a[0].shape, bool)
+    for x, y in zip(a, b):
+        eq = eq & (x == y)
+    return eq
+
+
+def _lower_bound(sorted_keys, queries, length):
+    """First index in the lexicographically sorted key tuple arrays where the
+    query could be inserted (vectorized binary search, static step count)."""
+    lo = jnp.zeros(queries[0].shape, jnp.int32)
+    hi = jnp.full(queries[0].shape, length, jnp.int32)
+    for _ in range(int(math.ceil(math.log2(max(length, 2)))) + 1):
+        mid = (lo + hi) // 2
+        mid_keys = tuple(k[mid] for k in sorted_keys)
+        go_right = _lex_less(mid_keys, queries)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def permutohedral_precompute(feats):
+    """Build the iteration-invariant lattice geometry for features [N, d].
+
+    Returns a dict of static-shape arrays consumed by `permutohedral_filter`.
+    M = N·(d+1) splat entries bound the number of lattice vertices; slot M is
+    a dedicated zero slot for missing blur neighbors (C++ twin: index -1).
+    """
+    N, d = feats.shape
+    d1 = d + 1
+    M = N * d1
+
+    # --- elevate onto the hyperplane H_d (mirrors wsdl_native.cpp:116-122)
+    inv_std = math.sqrt(2.0 / 3.0) * d1
+    scale = jnp.asarray(
+        [inv_std / math.sqrt((i + 1) * (i + 2)) for i in range(d)], jnp.float32
+    )
+    cf = feats.astype(jnp.float32) * scale                     # [N, d]
+    suffix = jnp.cumsum(cf[:, ::-1], axis=1)[:, ::-1]          # Σ_{k≥i} cf_k
+    suffix_full = jnp.concatenate([suffix, jnp.zeros((N, 1), jnp.float32)], 1)
+    j_idx = jnp.arange(1, d1, dtype=jnp.float32)
+    elevated = jnp.concatenate(
+        [suffix[:, :1], suffix_full[:, 1:] - j_idx * cf], axis=1
+    )                                                          # [N, d+1]
+
+    # --- nearest remainder-0 point
+    v = elevated / d1
+    up = jnp.ceil(v) * d1
+    down = jnp.floor(v) * d1
+    rem0 = jnp.where(up - elevated < elevated - down, up, down)
+    ssum = jnp.round(jnp.sum(rem0, axis=1) / d1).astype(jnp.int32)
+
+    # --- rank differential (pairwise, ties exactly as the C++ loop)
+    di = elevated - rem0
+    less = di[:, :, None] < di[:, None, :]                     # di_i < di_j
+    iu = jnp.triu(jnp.ones((d1, d1), bool), k=1)[None]
+    rank = (less & iu).sum(2) + ((~less) & iu).sum(1)          # [N, d+1] int
+    rank = rank.astype(jnp.int32) + ssum[:, None]
+    rem0 = rem0.astype(jnp.int32)
+    low = rank < 0
+    high = rank > d
+    rank = rank + jnp.where(low, d1, 0) - jnp.where(high, d1, 0)
+    rem0 = rem0 + jnp.where(low, d1, 0) - jnp.where(high, d1, 0)
+
+    # --- barycentric weights (computed with the wrapped rem0, as in C++)
+    vb = (elevated - rem0.astype(jnp.float32)) / d1            # [N, d+1]
+    add = jax.nn.one_hot(d - rank, d + 2, dtype=jnp.float32)
+    sub = jax.nn.one_hot(d1 - rank, d + 2, dtype=jnp.float32)
+    bary = jnp.einsum("ni,nir->nr", vb, add - sub)             # [N, d+2]
+    bary = bary.at[:, 0].add(1.0 + bary[:, d1])
+    wt = bary[:, :d1]                                          # [N, d+1]
+
+    # --- simplex vertex keys, first d coordinates (wsdl_native.cpp:162-166)
+    r = jnp.arange(d1, dtype=jnp.int32)[None, :, None]
+    cond = rank[:, None, :d] <= d - r
+    keys = rem0[:, None, :d] + r + jnp.where(cond, 0, -d1)     # [N, d+1, d]
+
+    keys_e = keys.reshape(M, d)
+    wt_e = wt.reshape(M)
+    packed = _pack_keys(keys_e)
+
+    # --- sort entries by key; equal-key runs are the lattice vertices
+    n_keys = len(packed)
+    ops = jax.lax.sort(
+        packed + (jnp.arange(M, dtype=jnp.int32),), num_keys=n_keys
+    )
+    sorted_keys, e = ops[:n_keys], ops[n_keys]
+    prev_ne = [k[1:] != k[:-1] for k in sorted_keys]
+    differs = prev_ne[0]
+    for ne in prev_ne[1:]:
+        differs = differs | ne
+    is_start = jnp.concatenate([jnp.ones(1, bool), differs])
+    vid = jnp.cumsum(is_start.astype(jnp.int32)) - 1           # [M] run id
+    is_end = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+    idx = jnp.arange(M, dtype=jnp.int32)
+
+    # scatter run boundaries to vertex slots; non-boundary entries land in the
+    # dump slot M (sliced off), so every real index is written exactly once
+    start_tgt = jnp.where(is_start, vid, M)
+    end_tgt = jnp.where(is_end, vid, M)
+    start_idx = jnp.zeros(M + 1, jnp.int32).at[start_tgt].set(idx)[:M]
+    end_plus = jnp.zeros(M + 1, jnp.int32).at[end_tgt].set(idx + 1)[:M]
+
+    # per-vertex unpacked keys (for neighbor queries)
+    keys_sorted = keys_e[e]                                    # [M, d]
+    vkeys = (
+        jnp.zeros((M + 1, d), jnp.int32).at[start_tgt].set(keys_sorted)[:M]
+    )
+
+    # --- blur neighbors: ±1 along each of the d+1 lattice directions
+    eye = jnp.eye(d, dtype=jnp.int32)
+    blur_n1, blur_n2 = [], []
+    for axis in range(d1):
+        if axis < d:
+            off_p = 1 - d1 * eye[axis]                         # +1 except -d at axis
+            off_m = -off_p
+        else:
+            off_p = jnp.ones((d,), jnp.int32)
+            off_m = -off_p
+        for off, out in ((off_p, blur_n1), (off_m, blur_n2)):
+            q = _pack_keys(vkeys + off[None, :])
+            pos = _lower_bound(sorted_keys, q, M)
+            pos_c = jnp.clip(pos, 0, M - 1)
+            found = (pos < M) & _lex_eq(tuple(k[pos_c] for k in sorted_keys), q)
+            out.append(jnp.where(found, vid[pos_c], M).astype(jnp.int32))
+
+    return {
+        "d1": d1,
+        "N": N,
+        "M": M,
+        "pix_sorted": (e // d1).astype(jnp.int32),             # entry → pixel
+        "wt_sorted": wt_e[e],
+        "start_idx": start_idx,
+        "end_plus": end_plus,
+        "blur_n1": jnp.stack(blur_n1),                         # [d+1, M]
+        "blur_n2": jnp.stack(blur_n2),
+        "vslot": jnp.zeros(M, jnp.int32).at[e].set(vid),       # entry order
+        "wt": wt_e,
+    }
+
+
+def permutohedral_filter(values, pre):
+    """Gaussian-filter ``values`` [N, C] through the precomputed lattice.
+
+    Output equals s·K(values) for a constant s (unnormalized blur) — callers
+    must pair it with symmetric normalization (masks/densecrf.py).
+    """
+    N, C = values.shape
+    d1, M = pre["d1"], pre["M"]
+
+    # splat: segment sums over sorted entries via cumsum + run-boundary gathers
+    contrib = values[pre["pix_sorted"]] * pre["wt_sorted"][:, None]  # [M, C]
+    cs = jnp.concatenate(
+        [jnp.zeros((1, C), values.dtype), jnp.cumsum(contrib, axis=0)]
+    )
+    vval = cs[pre["end_plus"]] - cs[pre["start_idx"]]                # [M, C]
+
+    # blur [1,2,1] sequentially along each lattice direction; slot M stays 0
+    zero_row = jnp.zeros((1, C), values.dtype)
+    vals = jnp.concatenate([vval, zero_row])                         # [M+1, C]
+    for axis in range(d1):
+        n1 = vals[pre["blur_n1"][axis]]
+        n2 = vals[pre["blur_n2"][axis]]
+        vals = jnp.concatenate([2.0 * vals[:M] + n1 + n2, zero_row])
+
+    # slice
+    out = vals[pre["vslot"]] * pre["wt"][:, None]                    # [M, C]
+    return out.reshape(N, d1, C).sum(axis=1)
