@@ -121,6 +121,36 @@ def main():
     float(seg_stage_n(state.params, state.batch_stats, state.opt_state))
     seg_rate = iters * seg_batch / (time.perf_counter() - t0)
 
+    # --- stage A': pseudo-mask gen with dense-CRF refinement on --------------
+    # the AlternatingDirectionCutLoss.py:510-567 protocol (CAM → threshold →
+    # CRF), exact MXU kernel-attention bilateral (ops/pallas_bilateral.py)
+    crf_rate = None
+    if not small and os.environ.get("WSDL_BENCH_CRF", "1") == "1":
+        from weaklysuperviseddl_tpu.masks.densecrf import densecrf_inference
+
+        crf_batch = int(os.environ.get("WSDL_BENCH_CRF_BATCH", 4))
+        crf_iters = max(1, iters // 8)
+        crf_imgs = jnp.asarray(
+            rng.uniform(0, 255, (crf_batch, cam_size, cam_size, 3)).astype(np.float32)
+        )
+        crf_cam = jnp.asarray(
+            rng.uniform(0.05, 0.95, (crf_batch, cam_size, cam_size)).astype(np.float32)
+        )
+
+        @jax.jit
+        def crf_stage_n(cam, imgs):
+            def body(carry, i):
+                probs = jnp.stack([1.0 - cam, cam], axis=-1) + i.astype(jnp.float32) * 1e-9
+                q = densecrf_inference(jnp.clip(probs, 1e-8, 1.0), imgs)
+                return carry + jnp.sum(jnp.argmax(q, -1)), None
+            total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(crf_iters))
+            return total
+
+        float(crf_stage_n(crf_cam, crf_imgs))  # compile
+        t0 = time.perf_counter()
+        float(crf_stage_n(crf_cam, crf_imgs))
+        crf_rate = crf_iters * crf_batch / (time.perf_counter() - t0)
+
     # --- stage C: alternating-direction refinement (HOT LOOP #5) -------------
     # reference AlternatingDirectionCutLoss.py:736-757 — per-image Adam-on-X,
     # 10 steps, KL + λ_dyn·ncut.  Batched scan/vmap with the fused Pallas
@@ -158,6 +188,10 @@ def main():
 
     cycle2 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
     cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
+    cycle_crf = (
+        1.0 / (1.0 / cam_rate + 1.0 / crf_rate + 1.0 / seg_rate + 1.0 / refine_rate)
+        if crf_rate else None
+    )
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
@@ -182,6 +216,8 @@ def main():
             "seg_train_img_per_s": round(seg_rate, 2),
             "refine_img_per_s": round(refine_rate, 2),
             "cycle2_img_per_s": round(cycle2, 2),
+            "crf_img_per_s": round(crf_rate, 2) if crf_rate else None,
+            "cycle_crf_on_img_per_s": round(cycle_crf, 2) if cycle_crf else None,
             "cam_batch": cam_batch,
             "seg_batch": seg_batch,
             "refine_batch": ref_batch,

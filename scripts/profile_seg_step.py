@@ -45,6 +45,13 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/wsdl_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
     from weaklysuperviseddl_tpu.models.resnet import ResNetBackbone
     from weaklysuperviseddl_tpu.train.segmentation import (
@@ -120,24 +127,27 @@ def main():
         onehot = jax.nn.one_hot(mm, 2, dtype=logp.dtype)
         return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
+    def grads_live(v, g):
+        # keep the backward alive: [0]-indexing value_and_grad lets XLA
+        # dead-code-eliminate the whole backward pass (measured: "fwd+bwd"
+        # == fwd-only without this)
+        s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(g))
+        return v + 1e-20 * s
+
     fwd = scan_n(lambda i, p, s: loss_at(p, s, x + i * 1e-6))
     timed(fwd, (state.params, state.batch_stats), iters, "forward + loss", per=B)
 
-    fwd_bwd = scan_n(lambda i, p, s: jax.value_and_grad(
-        lambda pp: loss_at(pp, s, x + i * 1e-6))(p)[0])
+    fwd_bwd = scan_n(lambda i, p, s: grads_live(*jax.value_and_grad(
+        lambda pp: loss_at(pp, s, x + i * 1e-6))(p)))
     timed(fwd_bwd, (state.params, state.batch_stats), iters,
           "forward + backward (no optimizer)", per=B)
 
-    # low-res loss: sizes the resize_bilinear-to-256 + full-res CE tail
-    class NoUp(DeepLabV3):
-        pass
-
-    fwd_bwd_lr = scan_n(lambda i, p, s: jax.value_and_grad(
-        lambda pp: loss_at(pp, s, x + i * 1e-6, upsample=False))(p)[0])
+    fwd_bwd_lr = scan_n(lambda i, p, s: grads_live(*jax.value_and_grad(
+        lambda pp: loss_at(pp, s, x + i * 1e-6, upsample=False))(p)))
     # note: logits are still upsampled inside the model; this only swaps the
-    # CE resolution. The model-internal resize is measured via prefixes below.
+    # CE resolution to 32x32 (sizes the full-res CE tail)
     timed(fwd_bwd_lr, (state.params, state.batch_stats), iters,
-          "forward + backward, CE at full res on strided mask", per=B)
+          "forward + backward, CE on strided 32x32 mask", per=B)
 
     # ---- backbone prefixes (fwd+bwd of sum of the stage output)
     backbone = ResNetBackbone(
@@ -152,8 +162,8 @@ def main():
 
     prev = 0.0
     for upto in ("stem", "layer1", "layer2", "layer3", "layer4"):
-        f = scan_n(lambda i, p, s, u=upto: jax.value_and_grad(
-            lambda pp: prefix_loss(pp, s, x + i * 1e-6, u))(p)[0])
+        f = scan_n(lambda i, p, s, u=upto: grads_live(*jax.value_and_grad(
+            lambda pp: prefix_loss(pp, s, x + i * 1e-6, u))(p)))
         dt = timed(f, (bvars["params"], bvars["batch_stats"]), iters,
                    f"backbone fwd+bwd through {upto}")
         print(f"{'':44s}   Δ {upto}: {(dt - prev) * 1e3:6.2f} ms")

@@ -88,7 +88,7 @@ def test_pallas_bilateral_matches_xla():
 
 
 def test_jax_lattice_matches_brute_force():
-    """Default device bilateral backend: the sort-based permutohedral lattice."""
+    """Opt-in O(N)-scaling backend: the sort-based permutohedral lattice."""
     img, _, probs, unary = make_case(1)
     q_exact = native.densecrf(unary, img, exact=True, **PARAMS)
     q_jax = np.asarray(densecrf_inference(

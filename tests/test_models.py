@@ -75,3 +75,32 @@ def test_perturbation_is_gradient_port():
     grads = jax.grad(score)(zeros)
     assert float(jnp.abs(grads["layer3"]).max()) > 0
     assert float(jnp.abs(grads["layer4"]).max()) > 0
+
+
+def test_deeplab_torchvision_layout_parity():
+    """A torchvision-``deeplabv3_resnet50``-layout state dict (the real
+    pretrained checkpoint format, ref SegmentationModel.py:86-88) ingests via
+    torch_import.deeplab_variables and matches the torch golden forward."""
+    from torch_ref import TDeepLabV3
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.models.torch_import import deeplab_variables
+
+    torch.manual_seed(3)
+    tmodel = TDeepLabV3(num_classes=2, width=0.25)
+    randomize_bn_stats(tmodel, 3)
+    tmodel.eval()
+    # fake an aux head entry to exercise the drop path
+    sd = dict(tmodel.state_dict())
+    sd["aux_classifier.0.weight"] = torch.zeros(1)
+
+    variables = jax.tree.map(jnp.asarray, deeplab_variables(sd))
+    fmodel = DeepLabV3(num_classes=2, width_multiplier=0.25)
+
+    x = np.random.default_rng(4).standard_normal((2, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        tlogits = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    flogits = fmodel.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(flogits), tlogits.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=2e-3,
+    )

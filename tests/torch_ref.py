@@ -101,6 +101,65 @@ class TResNetCAM(nn.Module):
         return self.fc(pooled), [f2, f3, f4]
 
 
+class TASPP(nn.Module):
+    """torchvision-style ASPP with matching state-dict keys
+    (convs.0 = 1×1, convs.1-3 = atrous 12/24/36, convs.4 = pooling branch,
+    project = 1×1 projection)."""
+
+    def __init__(self, in_ch, f, rates=(12, 24, 36)):
+        super().__init__()
+        mods = [nn.Sequential(nn.Conv2d(in_ch, f, 1, bias=False),
+                              nn.BatchNorm2d(f), nn.ReLU())]
+        for r in rates:
+            mods.append(nn.Sequential(
+                nn.Conv2d(in_ch, f, 3, padding=r, dilation=r, bias=False),
+                nn.BatchNorm2d(f), nn.ReLU()))
+        mods.append(nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Conv2d(in_ch, f, 1, bias=False),
+            nn.BatchNorm2d(f), nn.ReLU()))
+        self.convs = nn.ModuleList(mods)
+        self.project = nn.Sequential(
+            nn.Conv2d(len(mods) * f, f, 1, bias=False), nn.BatchNorm2d(f),
+            nn.ReLU(), nn.Dropout(0.5))
+
+    def forward(self, x):
+        res = [m(x) for m in self.convs[:-1]]
+        pooled = self.convs[-1](x)
+        res.append(pooled.expand(-1, -1, x.shape[-2], x.shape[-1]))
+        return self.project(torch.cat(res, dim=1))
+
+
+class TDeepLabV3(nn.Module):
+    """torchvision ``deeplabv3_resnet50``-layout mirror (state-dict keys match
+    the real pretrained checkpoint, so the same ``.pth`` drives this golden and
+    torch_import.deeplab_variables). Ref SegmentationModel.py:86-88."""
+
+    def __init__(self, num_classes=2, width=1.0):
+        super().__init__()
+        self.backbone = TResNetCAM(
+            depth=50, width=width,
+            replace_stride_with_dilation=(False, True, True))
+        del self.backbone.fc  # torchvision's deeplab backbone drops the fc
+        in_ch = max(8, int(512 * width)) * 4
+        f = max(16, int(256 * width))
+        self.classifier = nn.Sequential(
+            TASPP(in_ch, f),
+            nn.Conv2d(f, f, 3, padding=1, bias=False),
+            nn.BatchNorm2d(f),
+            nn.ReLU(),
+            nn.Conv2d(f, num_classes, 1),
+        )
+
+    def forward(self, x):
+        size = x.shape[-2:]
+        b = self.backbone
+        h = b.maxpool(torch.relu(b.bn1(b.conv1(x))))
+        h = b.layer4(b.layer3(b.layer2(b.layer1(h))))
+        h = self.classifier(h)
+        return nn.functional.interpolate(
+            h, size=size, mode="bilinear", align_corners=False)
+
+
 def randomize_bn_stats(model: nn.Module, seed: int = 0):
     """Give BN layers non-trivial running stats so eval-mode parity is a real test."""
     g = torch.Generator().manual_seed(seed)

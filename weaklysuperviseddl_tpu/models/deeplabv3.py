@@ -72,6 +72,7 @@ class DeepLabV3(nn.Module):
     # than the saved activation traffic. Kept available for memory-limited
     # configurations (larger batches/resolutions).
     remat: bool = False
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,6 +84,7 @@ class DeepLabV3(nn.Module):
             replace_stride_with_dilation=(False, True, True),  # output stride 8
             dtype=dt,
             remat=self.remat,
+            stem_s2d=self.stem_s2d,
             name="backbone",
         )(x, train=train)
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
@@ -41,6 +42,54 @@ def _conv(features, kernel, stride=1, dilation=1, dtype=jnp.float32, name=None):
         kernel_dilation=(dilation, dilation),
         use_bias=False, dtype=dtype, name=name,
     )
+
+
+class _Stem7x7(nn.Module):
+    """The ResNet 7×7/2 stem conv, with an optional space-to-depth execution
+    plan. The parameter is ALWAYS the standard ``kernel [7,7,3,64]`` (same
+    name/shape as nn.Conv, so torch ingestion and state dicts are untouched);
+    when ``s2d`` is on, the input is rearranged to 2×2 blocks
+    ([B,H/2,W/2,4C]) and the kernel is left-padded to 8×8 and folded to
+    [4,4,4C,F] — mathematically the same conv, but stride-1 on 4× the
+    channels, which suits the MXU better than stride-2 on 3 channels
+    (measured 1.94 → 1.64 ms fwd at batch 16, 256²; see BASELINE.md)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, C, self.features),
+            jnp.float32,
+        )
+        B, H, W, _ = x.shape
+        if not self.s2d or H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = (
+            k8.reshape(4, 2, 4, 2, C, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * C, self.features)
+        )
+        xr = (
+            x.reshape(B, H // 2, 2, W // 2, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, H // 2, W // 2, 4 * C)
+        )
+        return jax.lax.conv_general_dilated(
+            xr.astype(self.dtype), k.astype(self.dtype),
+            (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -138,6 +187,8 @@ class ResNetBackbone(nn.Module):
     # stages are HBM-bandwidth-bound (measured 85% of v5e bw at 30% MXU), so
     # trading activation storage for recompute speeds training up
     remat: bool = False
+    # space-to-depth stem execution (identical math, same params; _Stem7x7)
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False, perturbations=None):
@@ -155,7 +206,7 @@ class ResNetBackbone(nn.Module):
         def width(c):
             return max(8, int(c * self.width_multiplier))
 
-        x = _conv(width(64), 7, 2, 1, dt, "conv1")(x)
+        x = _Stem7x7(width(64), dt, s2d=self.stem_s2d, name="conv1")(x)
         x = _norm(dt, "bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -98,6 +98,57 @@ def cam_classifier_variables(state_dict: dict) -> dict:
     return variables
 
 
+def _rewrite_deeplab_key(key: str) -> str | None:
+    """torchvision ``deeplabv3_resnet50`` state-dict key → this framework's
+    module path (models/deeplabv3.py). Returns None for keys to drop.
+
+    torchvision layout (ref SegmentationModel.py:86 loads this model):
+      backbone.*                     ResNet-50, os-8
+      classifier.0.convs.0.{0,1}     ASPP 1×1 conv + BN
+      classifier.0.convs.{1,2,3}.*   ASPP atrous convs (rates 12/24/36) + BN
+      classifier.0.convs.4.{1,2}     ASPP pooling branch conv + BN
+      classifier.0.project.{0,1}     ASPP projection conv + BN
+      classifier.{1,2}               head 3×3 conv + BN
+      classifier.4                   final 1×1 conv (the reference swaps this
+                                     to 2 classes, SegmentationModel.py:88)
+      aux_classifier.*               unused auxiliary head → dropped
+    """
+    if key.startswith("aux_classifier."):
+        return None
+    m = re.match(r"^classifier\.0\.convs\.0\.([01])\.(.*)$", key)
+    if m:
+        return ("aspp.conv1x1." if m.group(1) == "0" else "aspp.bn1x1.") + m.group(2)
+    m = re.match(r"^classifier\.0\.convs\.([123])\.([01])\.(.*)$", key)
+    if m:
+        i = int(m.group(1)) - 1
+        base = f"aspp.atrous{i}." if m.group(2) == "0" else f"aspp.atrous_bn{i}."
+        return base + m.group(3)
+    m = re.match(r"^classifier\.0\.convs\.4\.([12])\.(.*)$", key)
+    if m:
+        return ("aspp.pool_conv." if m.group(1) == "1" else "aspp.pool_bn.") + m.group(2)
+    m = re.match(r"^classifier\.0\.project\.([01])\.(.*)$", key)
+    if m:
+        return ("aspp.project." if m.group(1) == "0" else "aspp.project_bn.") + m.group(2)
+    m = re.match(r"^classifier\.([124])\.(.*)$", key)
+    if m:
+        name = {"1": "head_conv.", "2": "head_bn.", "4": "classifier."}[m.group(1)]
+        return name + m.group(2)
+    return key  # backbone.* (generic rewrites apply later)
+
+
+def deeplab_variables(state_dict: dict) -> dict:
+    """torchvision ``deeplabv3_resnet50`` state dict → flax variables for
+    models.deeplabv3.DeepLabV3 (the reference's segmentation checkpoint
+    format, SegmentationModel.py:86-88 / SupervisedModel.py:107)."""
+    renamed = {}
+    for key, value in state_dict.items():
+        new = _rewrite_deeplab_key(key)
+        if new is not None:
+            renamed[new] = value
+    params, batch_stats = torch_to_flax(renamed)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_pth(path: str) -> dict:
     """Load a torch checkpoint file (host-side, gated on torch)."""
     import torch

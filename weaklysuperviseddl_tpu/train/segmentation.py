@@ -41,9 +41,11 @@ def create_seg_state(
     model, rng, input_size: int, lr: float = 1e-4, batch: int = 2,
     guard_nonfinite: bool = True, mesh=None,
 ):
-    """``guard_nonfinite`` wraps the optimizer in optax.apply_if_finite: a
-    step whose gradients contain NaN/inf is skipped instead of poisoning the
-    params — minimal failure detection the reference lacks (SURVEY.md §5).
+    """``guard_nonfinite`` wraps the optimizer in a non-finite-gradient guard
+    (train/guard.apply_if_finite_fast): a step whose gradients contain
+    NaN/inf is skipped instead of poisoning the params — minimal failure
+    detection the reference lacks (SURVEY.md §5). The fast guard's fused-sum
+    check costs ~0 vs optax.apply_if_finite's 1.6 ms/step per-leaf pass.
 
     ``mesh``: a ('data','model') Mesh. When given, parameters and optimizer
     state are laid out with the framework TP policy (conv/dense output
@@ -57,7 +59,9 @@ def create_seg_state(
     )
     tx = optax.adam(lr)
     if guard_nonfinite:
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        from weaklysuperviseddl_tpu.train.guard import apply_if_finite_fast
+
+        tx = apply_if_finite_fast(tx)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
