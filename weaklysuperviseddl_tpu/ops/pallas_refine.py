@@ -1,0 +1,302 @@
+"""Whole alternating-direction refinement as ONE VMEM-resident Pallas kernel.
+
+The reference's hottest loop (AlternatingDirectionCutLoss.py:709-767, HOT
+LOOP #5): per image, Adam on a mask variable X for num_steps minimizing
+KL(softmax(X)‖S) + λ_dyn·window(X). Round 1 compiled it as lax.scan over
+optax steps with fused window kernels; measurement (BASELINE.md round 2)
+shows that structure is launch/DMA-bound — per step it dispatches two Pallas
+kernels (window fwd + analytic bwd, each re-DMAing image+probs into VMEM) and
+a ~0.6 ms XLA elementwise pass (softmax/KL/Adam over HBM).
+
+This kernel runs the ENTIRE optimization per image inside one Pallas program:
+X, Adam moments, S, and the padded probability planes never leave VMEM; the
+color affinities are recomputed per offset per step (measured cheaper than
+storing 24 planes — VPU exp beats the extra DMA). Gradients are hand-derived:
+
+  q  = softmax(X)                    (channel axis)
+  q2 = softmax(q)                    (the reference's double-softmax quirk —
+                                      ncut path only; boundary uses q)
+  KL = Σ S·logS − S·log(q+1e-8)
+  Wsum = Σ_o Σ_c Σ_r aff_o(r)·(t_c(r) − t_c(r+o))²,  t ∈ {q2 (ncut), q (boundary)}
+  L  = KL + λ·stop_grad(KL/(W+1e-6))·W,  W = normW·Wsum
+
+  dWsum/dt (wrt the reflect-PADDED t, then fold margins — the transpose of
+  reflect-pad): +2·aff_o·d at the center, −2·aff_o·d at the neighbor.
+  Softmax VJP: dz = p ⊙ (g − Σ_c p·g).
+  Adam matches optax/torch defaults (β1 .9, β2 .999, eps 1e-8, bias corr.).
+
+Parity: tests/test_pallas_refine.py — masks equal + loss rtol vs the
+scan/vmap XLA path (losses/window.py) in interpreter mode, and vs torch
+semantics via the existing refine goldens (tests/test_refine.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from weaklysuperviseddl_tpu.ops.pallas_window import _offsets, _round_up
+
+
+def _refine_kernel(
+    img_ref,      # [1, 3, Hp, Wa]  reflect-padded image planes
+    s_ref,        # [1, C, Ha, Wa]  soft predictions (interior in [:H,:W])
+    mask_ref,     # [1, Ha, Wa]     int32 initial mask
+    out_ref,      # [1, Ha, Wa]     int32 refined mask
+    loss_ref,     # [1, 1]          SMEM: Σ over images of Σ step losses
+    x_ref,        # scratch [C, Ha, Wa]      the optimized variable
+    m_ref,        # scratch [C, Ha, Wa]      Adam m
+    v_ref,        # scratch [C, Ha, Wa]      Adam v
+    tp_ref,       # scratch [C, Hp2, Wp2]    padded window-input planes
+    gp_ref,       # scratch [C, Hp2, Wp2]    padded window-gradient planes
+    *,
+    H, W, pad, offsets, inv2sc, spatial_coeff, C, num_steps,
+    lr, lambda_boundary, threshold, double_softmax, normW,
+):
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    # init: X = one_hot(mask), moments = 0
+    mask = mask_ref[0, :H, :W]
+    for c in range(C):
+        x_ref[c, :H, :W] = (mask == c).astype(jnp.float32)
+    m_ref[:, :, :] = jnp.zeros(m_ref.shape, jnp.float32)
+    v_ref[:, :, :] = jnp.zeros(v_ref.shape, jnp.float32)
+
+    center_img = [img_ref[0, ch, pad : pad + H, pad : pad + W] for ch in range(3)]
+
+    def affinity(dy, dx):
+        color = None
+        for ch in range(3):
+            shifted = img_ref[0, ch, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            d = center_img[ch] - shifted
+            color = d * d if color is None else color + d * d
+        expo = -color * inv2sc
+        if spatial_coeff is not None:
+            expo = expo - (dx * dx + dy * dy) * spatial_coeff
+        return jnp.exp(expo)
+
+    def softmax_c(planes):
+        mx = planes[0]
+        for p_ in planes[1:]:
+            mx = jnp.maximum(mx, p_)
+        es = [jnp.exp(p_ - mx) for p_ in planes]
+        tot = es[0]
+        for e in es[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        return [e * inv for e in es]
+
+    def softmax_vjp(p_planes, g_planes):
+        dot = p_planes[0] * g_planes[0]
+        for p_, g_ in zip(p_planes[1:], g_planes[1:]):
+            dot = dot + p_ * g_
+        return [p_ * (g_ - dot) for p_, g_ in zip(p_planes, g_planes)]
+
+    def write_reflect(planes):
+        """planes [C][H,W] → tp_ref with jnp.pad(mode='reflect') semantics
+        (rows mirrored about the edge, then columns of the row-padded array)."""
+        for c in range(C):
+            tp_ref[c, pad : pad + H, pad : pad + W] = planes[c]
+        # rows
+        for j in range(1, pad + 1):
+            for c in range(C):
+                tp_ref[c, pad - j, pad : pad + W] = tp_ref[c, pad + j, pad : pad + W]
+                tp_ref[c, pad + H - 1 + j, pad : pad + W] = (
+                    tp_ref[c, pad + H - 1 - j, pad : pad + W]
+                )
+        # columns (over the full padded height → corners come out right)
+        Hp2 = 2 * pad + H
+        for j in range(1, pad + 1):
+            for c in range(C):
+                tp_ref[c, 0:Hp2, pad - j] = tp_ref[c, 0:Hp2, pad + j]
+                tp_ref[c, 0:Hp2, pad + W - 1 + j] = tp_ref[c, 0:Hp2, pad + W - 1 - j]
+
+    def fold_reflect():
+        """Transpose of write_reflect on gp_ref → interior [C][H,W] grads."""
+        Hp2 = 2 * pad + H
+        # columns first (reverse order of the pad)
+        for j in range(1, pad + 1):
+            for c in range(C):
+                gp_ref[c, 0:Hp2, pad + j] = gp_ref[c, 0:Hp2, pad + j] + gp_ref[c, 0:Hp2, pad - j]
+                gp_ref[c, 0:Hp2, pad + W - 1 - j] = (
+                    gp_ref[c, 0:Hp2, pad + W - 1 - j] + gp_ref[c, 0:Hp2, pad + W - 1 + j]
+                )
+        # then rows
+        for j in range(1, pad + 1):
+            for c in range(C):
+                gp_ref[c, pad + j, pad : pad + W] = (
+                    gp_ref[c, pad + j, pad : pad + W] + gp_ref[c, pad - j, pad : pad + W]
+                )
+                gp_ref[c, pad + H - 1 - j, pad : pad + W] = (
+                    gp_ref[c, pad + H - 1 - j, pad : pad + W]
+                    + gp_ref[c, pad + H - 1 + j, pad : pad + W]
+                )
+        return [gp_ref[c, pad : pad + H, pad : pad + W] for c in range(C)]
+
+    def step(t, loss_acc):
+        x = [x_ref[c, :H, :W] for c in range(C)]
+        q = softmax_c(x)
+
+        # KL(S ‖ q) with the reference's log(q+1e-8)
+        s = [s_ref[0, c, :H, :W] for c in range(C)]
+        kl = jnp.zeros((), jnp.float32)
+        for c in range(C):
+            p_log_p = jnp.where(s[c] > 0, s[c] * jnp.log(jnp.where(s[c] > 0, s[c], 1.0)), 0.0)
+            kl = kl + jnp.sum(p_log_p - s[c] * jnp.log(q[c] + 1e-8))
+
+        t_planes = softmax_c(q) if double_softmax else q
+        write_reflect(t_planes)
+
+        # window sum + padded gradient in one sweep over offsets
+        gp_ref[:, :, :] = jnp.zeros(gp_ref.shape, jnp.float32)
+        wsum = jnp.zeros((), jnp.float32)
+        for dy, dx in offsets:
+            aff = affinity(dy, dx)
+            for c in range(C):
+                shifted = tp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+                d = tp_ref[c, pad : pad + H, pad : pad + W] - shifted
+                ad = aff * d
+                wsum = wsum + jnp.sum(ad * d)
+                gp_ref[c, pad : pad + H, pad : pad + W] = (
+                    gp_ref[c, pad : pad + H, pad : pad + W] + 2.0 * ad
+                )
+                gp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] = (
+                    gp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] - 2.0 * ad
+                )
+
+        w = wsum * normW
+        lam = lambda_boundary * kl / (w + 1e-6)        # stop-grad ratio
+        loss = kl + lam * w
+
+        g_t = fold_reflect()                            # dL/dt (before λ scale)
+        g_t = [g * (lam * normW) for g in g_t]
+        if double_softmax:
+            g_q_window = softmax_vjp(t_planes, g_t)
+        else:
+            g_q_window = g_t
+        g_q = [g - s[c] / (q[c] + 1e-8) for c, g in enumerate(g_q_window)]
+        g_x = softmax_vjp(q, g_q)
+
+        # Adam (optax/torch defaults, bias-corrected with step t+1).
+        # β^t via exp(t·lnβ): Mosaic has no powf-with-traced-exponent.
+        import math as _math
+
+        tt = (t + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(tt * _math.log(b1))
+        bc2 = 1.0 - jnp.exp(tt * _math.log(b2))
+        for c in range(C):
+            g = g_x[c]
+            m_new = b1 * m_ref[c, :H, :W] + (1.0 - b1) * g
+            v_new = b2 * v_ref[c, :H, :W] + (1.0 - b2) * g * g
+            m_ref[c, :H, :W] = m_new
+            v_ref[c, :H, :W] = v_new
+            upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+            x_ref[c, :H, :W] = x_ref[c, :H, :W] - lr * upd
+
+        return loss_acc + loss
+
+    total = jax.lax.fori_loop(0, num_steps, step, jnp.zeros((), jnp.float32))
+
+    # final mask: softmax(X) channel-1 prob > threshold (ref :759-765)
+    xf = [x_ref[c, :H, :W] for c in range(C)]
+    qf = softmax_c(xf)
+    out_ref[0, :, :] = jnp.zeros(out_ref.shape[1:], jnp.int32)
+    out_ref[0, :H, :W] = (qf[1] > threshold).astype(jnp.int32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    loss_ref[0, 0] += total
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "lambda_boundary", "threshold", "lr", "num_steps", "sigma_color",
+        "sigma_space", "window_size", "loss", "interpret",
+    ),
+)
+def pallas_refine(
+    S, images, masks,
+    lambda_boundary=0.1, threshold=0.5, lr=1e-2, num_steps=20,
+    sigma_color=0.1, sigma_space=5.0, window_size=5, loss="ncut",
+    interpret=False,
+):
+    """Batched refinement, one VMEM-resident program per image.
+
+    Same contract as train.refine.refine_from_soft_predictions: returns
+    (refined uint8 [B,H,W], mean per-image total loss)."""
+    B, H, W, C = S.shape
+    pad = window_size // 2
+    offsets = _offsets(window_size)
+    K = len(offsets)
+    inv2sc = 1.0 / (2.0 * sigma_color**2)
+    if loss == "boundary":
+        spatial_coeff = 1.0 / (2.0 * sigma_space**2)
+        double_softmax = False
+        normW = 1.0 / (H * W * K)
+    else:
+        spatial_coeff = None
+        double_softmax = True
+        normW = 1.0 / (H * W * K * C)
+
+    Ha, Wa = _round_up(H, 8), _round_up(W, 128)
+    Hp2, Wp2 = 2 * pad + H, 2 * pad + W
+    Hp2a, Wp2a = _round_up(Hp2, 8), _round_up(Wp2, 128)
+
+    img = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
+    img_p = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    img_p = jnp.pad(
+        img_p, ((0, 0), (0, 0), (0, Hp2a - Hp2), (0, Wp2a - Wp2))
+    )
+    s_p = jnp.pad(
+        jnp.transpose(S.astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (0, Ha - H), (0, Wa - W)),
+    )
+    mask_p = jnp.pad(
+        masks.astype(jnp.int32), ((0, 0), (0, Ha - H), (0, Wa - W))
+    )
+
+    kernel = partial(
+        _refine_kernel,
+        H=H, W=W, pad=pad, offsets=offsets, inv2sc=inv2sc,
+        spatial_coeff=spatial_coeff, C=C, num_steps=num_steps,
+        lr=lr, lambda_boundary=lambda_boundary, threshold=threshold,
+        double_softmax=double_softmax, normW=normW,
+    )
+    out, total = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, Hp2a, Wp2a), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Ha, Wa), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ha, Wa), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Ha, Wa), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Ha, Wa), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # x
+            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # m
+            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # v
+            pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded t planes
+            pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded grads
+        ],
+        interpret=interpret,
+    )(img_p, s_p, mask_p)
+    refined = out[:, :H, :W].astype(jnp.uint8)
+    return refined, total[0, 0] / B

@@ -75,21 +75,29 @@ def refine_from_soft_predictions(
     if use_pallas is None:
         use_pallas = _use_pallas_default()
 
-    from weaklysuperviseddl_tpu.ops.pallas_window import (
-        pallas_boundary_loss,
-        pallas_local_normalized_cut_loss,
-    )
+    if use_pallas:
+        # TPU path: the ENTIRE per-image optimization runs as one
+        # VMEM-resident Pallas program (ops/pallas_refine.py) — X, Adam
+        # moments, and the padded probability planes never touch HBM between
+        # steps. Measured vs the scan-of-fused-kernels structure in
+        # BASELINE.md. Semantics identical (tests/test_pallas_refine.py).
+        from weaklysuperviseddl_tpu.ops.pallas_refine import pallas_refine
+
+        return pallas_refine(
+            S, images, masks,
+            lambda_boundary=lambda_boundary, threshold=threshold, lr=lr,
+            num_steps=num_steps, sigma_color=sigma_color,
+            sigma_space=sigma_space, window_size=window_size, loss=loss,
+        )
 
     def window_term(x_probs, image):
         if loss == "boundary":
-            fn = pallas_boundary_loss if use_pallas else boundary_loss
-            return fn(
+            return boundary_loss(
                 x_probs[None], image[None],
                 sigma_color=sigma_color, sigma_space=sigma_space, window_size=window_size,
             )
         # reference quirk: LocalNormalizedCutLoss softmaxes again internally
-        fn = pallas_local_normalized_cut_loss if use_pallas else local_normalized_cut_loss
-        return fn(
+        return local_normalized_cut_loss(
             x_probs[None], image[None],
             sigma_color=sigma_color, window_size=window_size,
         )
