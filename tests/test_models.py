@@ -104,3 +104,31 @@ def test_deeplab_torchvision_layout_parity():
         np.asarray(flogits), tlogits.permute(0, 2, 3, 1).numpy(),
         rtol=1e-3, atol=2e-3,
     )
+
+
+def test_atrous_tap_conv_matches_dilated_conv():
+    """_AtrousTapConv ≡ zero-padded dilated nn.Conv for rates below, near,
+    and beyond the feature-map size."""
+    import flax.linen as nn_
+    from weaklysuperviseddl_tpu.models.deeplabv3 import _AtrousTapConv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8), dtype=np.float32))
+    for rate in (2, 6, 15, 16, 40):
+        tap = _AtrousTapConv(features=12, rate=rate)
+        variables = tap.init(jax.random.PRNGKey(rate), x)
+        ref_conv = nn_.Conv(
+            12, (3, 3), padding=((rate, rate), (rate, rate)),
+            kernel_dilation=(rate, rate), use_bias=False)
+        ref = ref_conv.apply({"params": {"kernel": variables["params"]["kernel"]}}, x)
+        got = tap.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"rate={rate}")
+
+        # gradients agree too (incl. zero grads for dead taps)
+        g_got = jax.grad(lambda v: jnp.sum(jnp.square(tap.apply(v, x))))(variables)
+        g_ref = jax.grad(lambda k: jnp.sum(jnp.square(
+            ref_conv.apply({"params": {"kernel": k}}, x))))(variables["params"]["kernel"])
+        np.testing.assert_allclose(
+            np.asarray(g_got["params"]["kernel"]), np.asarray(g_ref),
+            rtol=1e-4, atol=1e-4, err_msg=f"rate={rate} grad")

@@ -27,6 +27,51 @@ from weaklysuperviseddl_tpu.models.resnet import ResNetBackbone, _conv, _norm
 from weaklysuperviseddl_tpu.ops.resize import resize_bilinear
 
 
+class _AtrousTapConv(nn.Module):
+    """3×3 atrous conv as 9 per-tap 1×1 matmuls on their in-bounds regions.
+
+    Mathematically identical to a zero-padded dilated conv (taps that land in
+    the padding contribute exactly 0), but skips the dead work: at the
+    reference geometry (32×32 layer4 map, rates 12/24/36 —
+    torchvision ASPP defaults, ref SegmentationModel.py:86) rate 36 exceeds
+    the map, so a full dilated conv spends 8/9 of its FLOPs multiplying
+    zeros; rate 24 wastes ~3/4. Parameter layout is identical to nn.Conv
+    (``kernel [3,3,C,F]``, no bias), so torch ingestion and checkpoints are
+    unchanged. Gradients to dead taps are 0 on both formulations.
+    """
+
+    features: int
+    rate: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, C, self.features), jnp.float32,
+        )
+        dt = self.dtype
+        xc = x.astype(dt)
+        out = jnp.zeros((B, H, W, self.features), dt)
+        for iy, dy in enumerate((-self.rate, 0, self.rate)):
+            oy0, oy1 = max(0, -dy), min(H, H - dy)
+            if oy1 <= oy0:
+                continue
+            for ix, dx in enumerate((-self.rate, 0, self.rate)):
+                ox0, ox1 = max(0, -dx), min(W, W - dx)
+                if ox1 <= ox0:
+                    continue
+                w_tap = kernel[iy, ix].astype(dt)                  # [C, F]
+                src = xc[:, oy0 + dy : oy1 + dy, ox0 + dx : ox1 + dx, :]
+                contrib = jnp.einsum(
+                    "bhwc,cf->bhwf", src, w_tap,
+                    preferred_element_type=dt,
+                )
+                out = out.at[:, oy0:oy1, ox0:ox1, :].add(contrib)
+        return out
+
+
 class ASPP(nn.Module):
     features: int = 256
     rates: Sequence[int] = (12, 24, 36)
@@ -43,7 +88,7 @@ class ASPP(nn.Module):
         branches.append(nn.relu(b))
 
         for i, rate in enumerate(self.rates):
-            b = _conv(self.features, 3, 1, rate, dt, f"atrous{i}")(x)
+            b = _AtrousTapConv(self.features, rate, dt, name=f"atrous{i}")(x)
             b = _norm(dt, f"atrous_bn{i}")(b, use_running_average=not train)
             branches.append(nn.relu(b))
 
