@@ -58,3 +58,12 @@ def test_mega_kernel_moves_toward_predictions():
         interpret=True)
     agree = (np.asarray(refined) == target).mean()
     assert agree > 0.95, f"refinement failed to follow S: {agree}"
+
+
+def test_vmem_budget_gates_kernel():
+    """The mega-kernel holds the whole per-image working set in VMEM; the
+    budget estimate must pass reference-scale images and reject ones that
+    cannot fit (train/refine falls back to the scan/vmap path there)."""
+    from weaklysuperviseddl_tpu.ops.pallas_refine import refine_vmem_bytes
+    assert refine_vmem_bytes((8, 256, 256, 2), 5) < 13 * 1024 * 1024
+    assert refine_vmem_bytes((8, 512, 512, 2), 5) > 13 * 1024 * 1024

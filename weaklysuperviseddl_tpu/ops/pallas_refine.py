@@ -214,6 +214,24 @@ def _refine_kernel(
     loss_ref[0, 0] += total
 
 
+def refine_vmem_bytes(S_shape, window_size: int) -> int:
+    """Per-program VMEM working set of the mega-kernel (inputs + scratch),
+    used by train/refine to decide kernel vs XLA fallback for big images."""
+    _, H, W, C = S_shape
+    pad = window_size // 2
+    Ha, Wa = _round_up(H, 8), _round_up(W, 128)
+    Hp2a = _round_up(2 * pad + H, 8)
+    Wp2a = _round_up(2 * pad + W, 128)
+    planes = (
+        3 * Hp2a * Wp2a          # image
+        + C * Ha * Wa            # S
+        + 2 * Ha * Wa            # mask in + mask out (int32)
+        + 3 * C * Ha * Wa        # x, m, v
+        + 2 * C * Hp2a * Wp2a    # padded t + padded grads
+    )
+    return planes * 4
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -81,14 +81,19 @@ def refine_from_soft_predictions(
         # moments, and the padded probability planes never touch HBM between
         # steps. Measured vs the scan-of-fused-kernels structure in
         # BASELINE.md. Semantics identical (tests/test_pallas_refine.py).
-        from weaklysuperviseddl_tpu.ops.pallas_refine import pallas_refine
+        from weaklysuperviseddl_tpu.ops.pallas_refine import (
+            pallas_refine, refine_vmem_bytes)
 
-        return pallas_refine(
-            S, images, masks,
-            lambda_boundary=lambda_boundary, threshold=threshold, lr=lr,
-            num_steps=num_steps, sigma_color=sigma_color,
-            sigma_space=sigma_space, window_size=window_size, loss=loss,
-        )
+        # the kernel holds the whole working set on-chip: above ~VMEM size
+        # (e.g. ≥512² images) fall back to the scan/vmap XLA path — or use
+        # refine_from_soft_predictions_sharded to split H across chips
+        if refine_vmem_bytes(S.shape, window_size) <= 13 * 1024 * 1024:
+            return pallas_refine(
+                S, images, masks,
+                lambda_boundary=lambda_boundary, threshold=threshold, lr=lr,
+                num_steps=num_steps, sigma_color=sigma_color,
+                sigma_space=sigma_space, window_size=window_size, loss=loss,
+            )
 
     def window_term(x_probs, image):
         if loss == "boundary":
