@@ -52,3 +52,18 @@ def test_nan_and_inf_steps_are_skipped_and_state_frozen():
     _, state = tx.update(good, state, params)
     assert int(state.notfinite_count) == 0
     assert int(state.total_notfinite) == 4
+
+
+def test_escape_hatch_passes_through_after_limit():
+    """optax semantics kept: after max_consecutive_errors consecutive
+    non-finite steps the update passes through unprotected, so a permanently
+    diverged run surfaces as NaN params instead of silently freezing."""
+    params = {"w": jnp.ones((4,))}
+    tx = apply_if_finite_fast(optax.adam(0.1), max_consecutive_errors=3)
+    state = tx.init(params)
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    for i in range(3):
+        updates, state = tx.update(bad, state, params)
+        assert np.all(np.asarray(updates["w"]) == 0), i  # still protected
+    updates, state = tx.update(bad, state, params)       # 4th: gives up
+    assert np.isnan(np.asarray(updates["w"])).any()

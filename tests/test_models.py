@@ -132,3 +132,23 @@ def test_atrous_tap_conv_matches_dilated_conv():
         np.testing.assert_allclose(
             np.asarray(g_got["params"]["kernel"]), np.asarray(g_ref),
             rtol=1e-4, atol=1e-4, err_msg=f"rate={rate} grad")
+
+
+def test_atrous_tap_conv_bf16_single_rounding():
+    """Under bf16 the tap decomposition accumulates partial sums in fp32 and
+    rounds once, staying within bf16 epsilon of the fp32 reference (a bf16
+    accumulator would compound ~9 rounding steps)."""
+    from weaklysuperviseddl_tpu.models.deeplabv3 import _AtrousTapConv
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32), dtype=np.float32))
+    tap32 = _AtrousTapConv(features=16, rate=16)
+    variables = tap32.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(tap32.apply(variables, x))
+    got = np.asarray(
+        _AtrousTapConv(features=16, rate=16, dtype=jnp.bfloat16).apply(variables, x)
+    ).astype(np.float32)
+    # compare against the typical output magnitude: pointwise relative error
+    # is meaningless where random sums cancel to ~0
+    rel = np.abs(got - ref).max() / np.abs(ref).mean()
+    assert rel < 5e-2, rel  # bf16 input rounding + one output rounding

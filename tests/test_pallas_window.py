@@ -61,27 +61,3 @@ def test_window7_matches():
     got = float(pallas_local_normalized_cut_loss(preds, images, sigma_color=0.1,
                                                  window_size=7, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
-
-
-def test_precomputed_affinity_forward_matches():
-    """fused_window_sum_pre (hoisted affinities) == fused_window_sum."""
-    from weaklysuperviseddl_tpu.ops.pallas_window import (
-        fused_window_sum, fused_window_sum_pre, window_affinities)
-    preds, images = _data(2)
-    probs = jax.nn.softmax(preds, axis=-1)
-    for sigma_space in (None, 5.0):
-        ref = float(fused_window_sum(probs, images, 0.07, sigma_space, 5, True))
-        aff = window_affinities(images, 0.07, sigma_space, 5)
-        got = float(fused_window_sum_pre(probs, aff, 5, True))
-        np.testing.assert_allclose(got, ref, rtol=1e-5)
-
-
-def test_precomputed_affinity_backward_matches():
-    from weaklysuperviseddl_tpu.ops.pallas_window import (
-        fused_window_sum, fused_window_sum_pre, window_affinities)
-    preds, images = _data(3)
-    probs = jax.nn.softmax(preds, axis=-1)
-    aff = window_affinities(images, 0.07, None, 5)
-    g_ref = jax.grad(lambda p: fused_window_sum(p, images, 0.07, None, 5, True))(probs)
-    g_got = jax.grad(lambda p: fused_window_sum_pre(p, aff, 5, True))(probs)
-    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5, atol=1e-6)

@@ -186,6 +186,12 @@ def densecrf_inference(
     if bilat_backend not in ("attention", "lattice", "grid"):
         raise ValueError(f"unknown bilat_backend {bilat_backend!r}")
     H, W = probs.shape[1:3]
+    if bilat_backend == "attention" and jax.default_backend() != "tpu" and H * W > 64 * 64:
+        # the exact O(N²) path is an MXU design: off-TPU its XLA fallback
+        # would materialize an N×N kernel matrix (~10 GB at 224²). Keep exact
+        # attention for small (test-scale) images; route production sizes to
+        # the O(N) grid approximation on CPU/GPU hosts.
+        bilat_backend = "grid"
     if bilat_backend == "lattice" and bilat_compat:
         # static coordinate-range check for the 12-bit key packing
         bound = coordinate_bound(

@@ -70,7 +70,10 @@ class _AtrousTapConv(nn.Module):
                 rhs_dilation=(self.rate, self.rate),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-        out = jnp.zeros((B, H, W, self.features), dt)
+        # accumulate partial tap sums in fp32 and round ONCE at the end —
+        # matching the native conv's single-rounding numerics under bf16
+        # (a bf16 accumulator would compound up to 9 rounding steps)
+        out = jnp.zeros((B, H, W, self.features), jnp.float32)
         for iy, dy in enumerate((-self.rate, 0, self.rate)):
             oy0, oy1 = max(0, -dy), min(H, H - dy)
             if oy1 <= oy0:
@@ -83,10 +86,10 @@ class _AtrousTapConv(nn.Module):
                 src = xc[:, oy0 + dy : oy1 + dy, ox0 + dx : ox1 + dx, :]
                 contrib = jnp.einsum(
                     "bhwc,cf->bhwf", src, w_tap,
-                    preferred_element_type=dt,
+                    preferred_element_type=jnp.float32,
                 )
                 out = out.at[:, oy0:oy1, ox0:ox1, :].add(contrib)
-        return out
+        return out.astype(dt)
 
 
 class ASPP(nn.Module):

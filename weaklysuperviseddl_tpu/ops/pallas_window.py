@@ -219,142 +219,12 @@ def _fws_bwd(sigma_color, sigma_space, window_size, interpret, res, g):
 fused_window_sum.defvjp(_fws_fwd, _fws_bwd)
 
 
-def window_affinities(images, sigma_color, sigma_space, window_size):
-    """Per-offset affinity planes [B, K, H, W] for the window losses.
-
-    The affinities depend ONLY on the image, which is frozen data in every
-    reference use — in the alternating-direction refinement
-    (AlternatingDirectionCutLoss.py:736-757) they are recomputed inside every
-    Adam step by construction of the loss module. Hoisting them out of the
-    step loop removes ~60% of the per-step kernel work (3 color diffs + exp
-    per offset, forward AND backward). Plain XLA: runs once per refinement.
-    """
-    B, H, W, _ = images.shape
-    pad = window_size // 2
-    offsets = _offsets(window_size)
-    inv2sc = 1.0 / (2.0 * sigma_color**2)
-    img = jnp.transpose(images, (0, 3, 1, 2))  # [B,3,H,W]
-    img_p = jnp.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    planes = []
-    for dy, dx in offsets:
-        shifted = img_p[:, :, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
-        color = jnp.sum((img - shifted) ** 2, axis=1)  # [B,H,W]
-        expo = -color * inv2sc
-        if sigma_space is not None:
-            expo = expo - (dx * dx + dy * dy) / (2.0 * sigma_space**2)
-        planes.append(jnp.exp(expo))
-    return jnp.stack(planes, axis=1)  # [B,K,H,W]
-
-
-def _fwd_kernel_pre(aff_ref, probs_ref, out_ref, *, H, W, pad, offsets, C):
-    center_probs = [probs_ref[0, c, pad : pad + H, pad : pad + W] for c in range(C)]
-    acc = jnp.zeros((), jnp.float32)
-    for k, (dy, dx) in enumerate(offsets):
-        aff = aff_ref[0, k, :H, :W]
-        for c in range(C):
-            shifted = probs_ref[0, c, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
-            d = center_probs[c] - shifted
-            acc = acc + jnp.sum(aff * d * d)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        out_ref[0, 0] = jnp.zeros((), jnp.float32)
-
-    out_ref[0, 0] += acc
-
-
-def _bwd_kernel_pre(aff_ref, probs_ref, grad_ref, *, H, W, pad, offsets, C):
-    center_probs = [probs_ref[0, c, pad : pad + H, pad : pad + W] for c in range(C)]
-    grad_ref[0, :, :, :] = jnp.zeros(grad_ref.shape[1:], jnp.float32)
-    for k, (dy, dx) in enumerate(offsets):
-        aff = aff_ref[0, k, :H, :W]
-        for c in range(C):
-            shifted = probs_ref[0, c, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
-            t = aff * (center_probs[c] - shifted)
-            grad_ref[0, c, pad : pad + H, pad : pad + W] = (
-                grad_ref[0, c, pad : pad + H, pad : pad + W] + 2.0 * t
-            )
-            grad_ref[0, c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] = (
-                grad_ref[0, c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] - 2.0 * t
-            )
-
-
-def _pad_aff(aff, H, W):
-    """[B,K,H,W] → spatially tile-aligned (zero margin, never read)."""
-    Ha, Wa = _round_up(H, 8), _round_up(W, 128)
-    return jnp.pad(aff, ((0, 0), (0, 0), (0, Ha - H), (0, Wa - W)))
-
-
-def _window_sum_pre(probs, aff, window_size, interpret):
-    B, H, W, C = probs.shape
-    pad = window_size // 2
-    offsets = _offsets(window_size)
-    K = len(offsets)
-    probs_p = _pad_planes(probs, pad)
-    aff_p = _pad_aff(aff, H, W)
-    Hp, Wp = probs_p.shape[2], probs_p.shape[3]
-    Ha, Wa = aff_p.shape[2], aff_p.shape[3]
-
-    kernel = partial(_fwd_kernel_pre, H=H, W=W, pad=pad, offsets=offsets, C=C)
-    total = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, K, Ha, Wa), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, Hp, Wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        interpret=interpret,
-    )(aff_p, probs_p)
-    return total[0, 0]
-
-
-def _window_sum_pre_grad(probs, aff, window_size, interpret):
-    B, H, W, C = probs.shape
-    pad = window_size // 2
-    offsets = _offsets(window_size)
-    K = len(offsets)
-    probs_p = _pad_planes(probs, pad)
-    aff_p = _pad_aff(aff, H, W)
-    Hp, Wp = probs_p.shape[2], probs_p.shape[3]
-    Ha, Wa = aff_p.shape[2], aff_p.shape[3]
-
-    kernel = partial(_bwd_kernel_pre, H=H, W=W, pad=pad, offsets=offsets, C=C)
-    g_pad = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, K, Ha, Wa), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, Hp, Wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, C, Hp, Wp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
-        interpret=interpret,
-    )(aff_p, probs_p)
-    g_pad = g_pad[:, :, : H + 2 * pad, : W + 2 * pad]
-    g = _fold_reflect(g_pad, pad)
-    return jnp.transpose(g, (0, 2, 3, 1))
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_window_sum_pre(probs, aff, window_size, interpret=False):
-    """fused_window_sum with precomputed affinities (see window_affinities).
-    Differentiable w.r.t. probs only; aff is frozen data."""
-    return _window_sum_pre(probs, aff, window_size, interpret)
-
-
-def _fwsp_fwd(probs, aff, window_size, interpret):
-    return _window_sum_pre(probs, aff, window_size, interpret), (probs, aff)
-
-
-def _fwsp_bwd(window_size, interpret, res, g):
-    probs, aff = res
-    gp = _window_sum_pre_grad(probs, aff, window_size, interpret)
-    return (g * gp, jnp.zeros_like(aff))
-
-
-fused_window_sum_pre.defvjp(_fwsp_fwd, _fwsp_bwd)
+# A precomputed-affinity variant (window_affinities + fused_window_sum_pre)
+# was built and measured here in round 2: DMAing 24 stored affinity planes
+# costs what the per-offset recompute saves (VPU exp is cheap, VMEM bandwidth
+# is not), and the whole per-step-kernel structure was then superseded by the
+# VMEM-resident mega-kernel (ops/pallas_refine.py). Removed as dead code; the
+# measurements live in BASELINE.md ("Refinement mega-kernel").
 
 
 def pallas_local_normalized_cut_loss(

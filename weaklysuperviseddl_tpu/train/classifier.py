@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from weaklysuperviseddl_tpu.data.preprocess import preprocess_batch
-from weaklysuperviseddl_tpu.losses.basic import cross_entropy_loss
+from weaklysuperviseddl_tpu.losses.basic import per_example_nll
 from weaklysuperviseddl_tpu.utils.metrics import (
     classification_counts,
     finish_macro_f1,
@@ -47,9 +47,7 @@ def make_fc_train_step(model, tx):
                 "batch_stats": frozen["batch_stats"],
             }
             logits, _ = model.apply(variables, images)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
-            nll = -jnp.sum(logp * onehot, axis=-1)  # [B]
+            nll = per_example_nll(logits, labels)  # [B]
             return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0), logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(fc_params)

@@ -30,7 +30,14 @@ class FastFiniteState(NamedTuple):
     inner_state: optax.OptState
 
 
-def apply_if_finite_fast(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+def apply_if_finite_fast(
+    tx: optax.GradientTransformation, max_consecutive_errors: int = 100
+) -> optax.GradientTransformation:
+    """``max_consecutive_errors`` keeps optax's escape hatch: once that many
+    consecutive steps are non-finite, the update passes through unprotected so
+    a permanently diverged run surfaces as NaN params instead of silently
+    training nothing forever."""
+
     def init(params):
         return FastFiniteState(
             notfinite_count=jnp.zeros([], jnp.int32),
@@ -43,12 +50,14 @@ def apply_if_finite_fast(tx: optax.GradientTransformation) -> optax.GradientTran
             jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(grads)
         )
         finite = jnp.isfinite(total)
+        give_up = state.notfinite_count >= max_consecutive_errors
+        apply = finite | give_up
         updates, new_inner = tx.update(grads, state.inner_state, params)
         updates = jax.tree.map(
-            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+            lambda u: jnp.where(apply, u, jnp.zeros_like(u)), updates
         )
         new_inner = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_inner, state.inner_state
+            lambda n, o: jnp.where(apply, n, o), new_inner, state.inner_state
         )
         return updates, FastFiniteState(
             notfinite_count=jnp.where(finite, 0, state.notfinite_count + 1),

@@ -68,8 +68,10 @@ def refine_from_soft_predictions(
 ):
     """Batched refinement core. Returns (refined uint8 [B,H,W], mean total loss).
 
-    use_pallas: route the window term through the fused Pallas kernels
-    (ops/pallas_window.py); None → auto (TPU backend only)."""
+    use_pallas: run the whole optimization as the VMEM-resident mega-kernel
+    (ops/pallas_refine.py); None → auto (TPU backend only). Falls back to the
+    scan/vmap XLA path when the per-image working set exceeds the VMEM budget
+    (≈≥512² — see refine_vmem_bytes) or off-TPU."""
     num_classes = S.shape[-1]
     tx = optax.adam(lr)
     if use_pallas is None:

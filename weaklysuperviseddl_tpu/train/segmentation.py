@@ -100,13 +100,10 @@ def make_seg_train_step(model, tx, loss_fn: str = "cross_entropy"):
                 )(probas, masks_c)
                 l = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
             else:
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                # one-hot multiply-sum, NOT take_along_axis: the gather's
-                # backward is a scatter-add that serializes on TPU (measured
-                # 49.5 → 34.0 ms/step on this exact loss — losses/basic.py)
-                onehot = jax.nn.one_hot(masks_c, logits.shape[-1], dtype=logp.dtype)
-                nll = -jnp.sum(logp * onehot, axis=-1)
-                per = jnp.mean(nll, axis=(1, 2))
+                from weaklysuperviseddl_tpu.losses.basic import per_example_nll
+
+                # gather-free CE (see losses/basic.per_example_nll notes)
+                per = jnp.mean(per_example_nll(logits, masks_c), axis=(1, 2))
                 l = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
             return l, updates["batch_stats"]
 
