@@ -124,3 +124,23 @@ def test_stopwatch_and_phase():
     with phase("x", log=lines.append):
         pass
     assert any(s.startswith("[profile] x") for s in lines)
+
+
+def test_foundation_real_sam_backend_from_config():
+    """The REAL hf_segmenter (transformers SamProcessor -> SamModel forward ->
+    pred_masks[:,0]) runs end-to-end through the pipeline with from-config
+    random weights (no downloads; outputs are meaningless but every
+    integration seam is exercised — upgrade path is from_pretrained)."""
+    import numpy as np
+    from weaklysuperviseddl_tpu.pipelines.foundation import (
+        FoundationPipeline, hf_segmenter, tiny_sam_config)
+
+    segment = hf_segmenter(config=tiny_sam_config())
+    detector = lambda img, prompts: np.asarray([[10.0, 10.0, 100.0, 100.0]])
+    pipe = FoundationPipeline(detector=detector, segmenter=segment,
+                              output_size=64)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    mask = pipe.run_segmentation_pipeline(image)
+    assert mask.shape == (64, 64)
+    assert set(np.unique(mask)).issubset({0, 1})

@@ -51,13 +51,32 @@ def hf_detector(model_name: str = "IDEA-Research/grounding-dino-base",
     return detect
 
 
-def hf_segmenter(model_name: str = "facebook/sam-vit-base"):
-    """SAM box-prompted segmenter (ref two_stage_foundation.py:34-66)."""
+def hf_segmenter(model_name: str = "facebook/sam-vit-base", config=None,
+                 image_size: int | None = None):
+    """SAM box-prompted segmenter (ref two_stage_foundation.py:34-66).
+
+    ``config``: a transformers ``SamConfig`` → build the model from config
+    with random weights instead of downloading the checkpoint. This keeps the
+    REAL backend (processor → SamModel forward → ``pred_masks[:, 0]``)
+    executable in zero-egress environments — outputs are meaningless but the
+    integration is exercised end-to-end (tests/test_aux.py); swap in
+    ``from_pretrained`` weights for real quality. ``image_size`` must match
+    ``config.vision_config.image_size`` when given.
+    """
     import torch
     from transformers import SamModel, SamProcessor
 
-    model = SamModel.from_pretrained(model_name)
-    processor = SamProcessor.from_pretrained(model_name)
+    if config is not None:
+        from transformers.models.sam import SamImageProcessor
+
+        size = image_size or config.vision_config.image_size
+        model = SamModel(config)
+        processor = SamProcessor(SamImageProcessor(
+            size={"longest_edge": size}, pad_size={"height": size, "width": size}))
+    else:
+        model = SamModel.from_pretrained(model_name)
+        processor = SamProcessor.from_pretrained(model_name)
+    model = model.eval()
 
     def segment(image_pil, boxes):
         inputs = processor(image_pil, input_boxes=[[list(b) for b in boxes]],
@@ -67,6 +86,18 @@ def hf_segmenter(model_name: str = "facebook/sam-vit-base"):
         return masks[:, 0].cpu().numpy().squeeze(0)
 
     return segment
+
+
+def tiny_sam_config():
+    """Smallest SamConfig that exercises the full SAM stack (2 ViT layers,
+    256² inputs, default hidden dims — the inter-module dims are coupled)."""
+    from transformers import SamConfig, SamPromptEncoderConfig, SamVisionConfig
+
+    vision = SamVisionConfig(num_hidden_layers=2, image_size=256,
+                             global_attn_indexes=[1])
+    prompt = SamPromptEncoderConfig(image_size=256, image_embedding_size=16)
+    return SamConfig(vision_config=vision.to_dict(),
+                     prompt_encoder_config=prompt.to_dict())
 
 
 # ---------------------------------------------------------------------------
