@@ -12,6 +12,7 @@ with dotted-config overrides onto ExperimentConfig, e.g.:
     python -m weaklysuperviseddl_tpu ablations --smoke
     python -m weaklysuperviseddl_tpu basnet --weights ./Weights/basnet.pth
     python -m weaklysuperviseddl_tpu dryrun --devices 8
+    python -m weaklysuperviseddl_tpu parity --weights-dir ./Weights --pet-root ./data
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 
 
@@ -68,7 +70,8 @@ def _base_cfg(args, extra):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="weaklysuperviseddl_tpu")
     parser.add_argument("command", choices=[
-        "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun", "bench",
+        "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun",
+        "bench", "parity",
     ])
     parser.add_argument("--smoke", action="store_true", help="tiny config for smoke runs")
     parser.add_argument("--weights", default="./Weights/basnet.pth")
@@ -114,8 +117,6 @@ def main(argv=None):
         evaluate_pipeline_on_dataset(ds, num_images=args.num_images)
     elif args.command == "dryrun":
         # force the host platform with N virtual devices BEFORE jax initializes
-        import os
-
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
@@ -130,6 +131,15 @@ def main(argv=None):
         import bench
 
         bench.main()
+    elif args.command == "parity":
+        # real-weights parity suite (scripts/parity_harness.py): pass
+        # --weights-dir/--pet-root/... after the command
+        import runpy
+
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "parity_harness.py")
+        sys.argv = [script] + extra
+        runpy.run_path(script, run_name="__main__")
     return 0
 
 
