@@ -68,6 +68,23 @@ def _base_cfg(args, extra):
 
 
 def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["parity"]:
+        # dispatch BEFORE argparse: the main parser's --num-images/--weights/
+        # --smoke flags would otherwise swallow the harness's identically
+        # named arguments (scripts/parity_harness.py owns its own CLI)
+        import runpy
+
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "parity_harness.py")
+        saved_argv = sys.argv
+        sys.argv = [script] + argv[1:]
+        try:
+            runpy.run_path(script, run_name="__main__")
+        finally:
+            sys.argv = saved_argv
+        return 0
+
     parser = argparse.ArgumentParser(prog="weaklysuperviseddl_tpu")
     parser.add_argument("command", choices=[
         "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun",
@@ -131,15 +148,6 @@ def main(argv=None):
         import bench
 
         bench.main()
-    elif args.command == "parity":
-        # real-weights parity suite (scripts/parity_harness.py): pass
-        # --weights-dir/--pet-root/... after the command
-        import runpy
-
-        script = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "scripts", "parity_harness.py")
-        sys.argv = [script] + extra
-        runpy.run_path(script, run_name="__main__")
     return 0
 
 

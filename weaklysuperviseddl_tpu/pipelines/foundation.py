@@ -8,9 +8,11 @@ mask; eval vs trimap∈{1,3}; saves masks + 3-panel viz.
 Design: the pipeline is dependency-injected — ``detector(image, prompts) →
 boxes [N,4]`` and ``segmenter(image, boxes) → masks [N,H,W] float`` — so the
 orchestration, mask fusion, eval, and persistence are fully testable without
-the (externally downloaded) HF checkpoints. ``hf_detector``/``hf_segmenter``
-build the real GroundingDINO/SAM backends when their weights are available
-(gated: zero-egress environments raise a clear error).
+the (externally downloaded) HF checkpoints. ``hf_segmenter`` builds the real
+transformers SAM backend either from pretrained weights or from a config
+(random init, no downloads — see ``tiny_sam_config``); ``hf_detector``
+(GroundingDINO) remains weight-gated because its processor needs a
+downloaded text tokenizer.
 """
 
 from __future__ import annotations
@@ -70,10 +72,21 @@ def hf_segmenter(model_name: str = "facebook/sam-vit-base", config=None,
         from transformers.models.sam import SamImageProcessor
 
         size = image_size or config.vision_config.image_size
+        if size != config.vision_config.image_size:
+            raise ValueError(
+                f"image_size {size} != config.vision_config.image_size "
+                f"{config.vision_config.image_size}: the vision encoder's "
+                f"position embeddings are sized for the config value"
+            )
         model = SamModel(config)
         processor = SamProcessor(SamImageProcessor(
             size={"longest_edge": size}, pad_size={"height": size, "width": size}))
     else:
+        if image_size is not None:
+            raise ValueError(
+                "image_size only applies with config=; the pretrained "
+                "processor carries its own sizing"
+            )
         model = SamModel.from_pretrained(model_name)
         processor = SamProcessor.from_pretrained(model_name)
     model = model.eval()
