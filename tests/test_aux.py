@@ -144,3 +144,25 @@ def test_foundation_real_sam_backend_from_config():
     mask = pipe.run_segmentation_pipeline(image)
     assert mask.shape == (64, 64)
     assert set(np.unique(mask)).issubset({0, 1})
+
+
+def test_foundation_both_real_backends_from_config():
+    """FULL zero-download C22: real GroundingDINO detector (handmade WordPiece
+    vocab + from-config model) feeding the real SAM segmenter through the
+    pipeline orchestration — every integration seam of
+    two_stage_foundation.py:31-74 executes; swap from_pretrained weights in
+    for real quality."""
+    import numpy as np
+    from weaklysuperviseddl_tpu.pipelines.foundation import (
+        FoundationPipeline, hf_detector, hf_segmenter,
+        tiny_gdino_config, tiny_sam_config)
+
+    detect = hf_detector(config=tiny_gdino_config(), box_threshold=0.0,
+                         text_threshold=0.0)
+    segment = hf_segmenter(config=tiny_sam_config())
+    pipe = FoundationPipeline(detector=detect, segmenter=segment, output_size=64)
+    rng = np.random.default_rng(1)
+    image = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+    mask = pipe.run_segmentation_pipeline(image, prompts=("a cat", "a dog"))
+    assert mask.shape == (64, 64)
+    assert set(np.unique(mask)).issubset({0, 1})

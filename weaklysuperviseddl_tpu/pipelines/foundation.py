@@ -26,20 +26,68 @@ from weaklysuperviseddl_tpu.ops.resize import resize_nearest
 DEFAULT_PROMPTS = ("a cat", "a dog")
 
 
+def _as_pil(image):
+    """The pipeline accepts PIL or HWC uint8 arrays (stub backends handle
+    both); the HF processors want PIL."""
+    from PIL import Image
+
+    if isinstance(image, Image.Image):
+        return image
+    return Image.fromarray(np.asarray(image).astype(np.uint8))
+
+
 # ---------------------------------------------------------------------------
 # HF backends (weight-gated)
 # ---------------------------------------------------------------------------
 
 def hf_detector(model_name: str = "IDEA-Research/grounding-dino-base",
-                box_threshold: float = 0.3, text_threshold: float = 0.25):
-    """GroundingDINO zero-shot detector (ref two_stage_foundation.py:31-56)."""
+                box_threshold: float = 0.3, text_threshold: float = 0.25,
+                config=None, vocab=None):
+    """GroundingDINO zero-shot detector (ref two_stage_foundation.py:31-56).
+
+    ``config`` + ``vocab``: build the model from a transformers
+    ``GroundingDinoConfig`` with random weights and a locally constructed
+    WordPiece tokenizer (list of tokens; must cover the prompt words) — the
+    REAL detector path (processor → GroundingDinoForObjectDetection →
+    post_process_grounded_object_detection) runs without any downloads.
+    Outputs are meaningless until ``from_pretrained`` weights are swapped in;
+    see tiny_gdino_config()/tiny_gdino_vocab().
+    """
     import torch
     from transformers import AutoModelForZeroShotObjectDetection, AutoProcessor
 
-    model = AutoModelForZeroShotObjectDetection.from_pretrained(model_name)
-    processor = AutoProcessor.from_pretrained(model_name)
+    if config is not None:
+        import os
+        import tempfile
+
+        from transformers import (BertTokenizerFast,
+                                  GroundingDinoForObjectDetection,
+                                  GroundingDinoProcessor)
+        from transformers.models.grounding_dino import GroundingDinoImageProcessor
+
+        if vocab is None:
+            vocab = tiny_gdino_vocab()
+        if len(vocab) != config.text_config.vocab_size:
+            raise ValueError(
+                f"vocab size {len(vocab)} != config.text_config.vocab_size "
+                f"{config.text_config.vocab_size}")
+        tmp = tempfile.mkdtemp()
+        with open(os.path.join(tmp, "vocab.txt"), "w") as f:
+            f.write("\n".join(vocab))
+        tokenizer = BertTokenizerFast(vocab_file=os.path.join(tmp, "vocab.txt"))
+        model = GroundingDinoForObjectDetection(config).eval()
+        size = config.backbone_config.image_size
+        processor = GroundingDinoProcessor(
+            GroundingDinoImageProcessor(
+                size={"shortest_edge": size, "longest_edge": size}),
+            tokenizer,
+        )
+    else:
+        model = AutoModelForZeroShotObjectDetection.from_pretrained(model_name)
+        processor = AutoProcessor.from_pretrained(model_name)
 
     def detect(image_pil, prompts):
+        image_pil = _as_pil(image_pil)
         inputs = processor(images=image_pil, text=[list(prompts)], return_tensors="pt")
         with torch.no_grad():
             outputs = model(**inputs)
@@ -92,6 +140,7 @@ def hf_segmenter(model_name: str = "facebook/sam-vit-base", config=None,
     model = model.eval()
 
     def segment(image_pil, boxes):
+        image_pil = _as_pil(image_pil)
         inputs = processor(image_pil, input_boxes=[[list(b) for b in boxes]],
                            return_tensors="pt")
         with torch.no_grad():
@@ -99,6 +148,31 @@ def hf_segmenter(model_name: str = "facebook/sam-vit-base", config=None,
         return masks[:, 0].cpu().numpy().squeeze(0)
 
     return segment
+
+
+def tiny_gdino_vocab():
+    """Minimal WordPiece vocab covering the reference prompts ("a cat",
+    "a dog", two_stage_foundation.py:156)."""
+    return ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+            "a", "cat", "dog", ".", "an", "animal"]
+
+
+def tiny_gdino_config():
+    """Smallest GroundingDinoConfig that exercises the full stack (tiny Swin
+    backbone, 2-layer BERT over tiny_gdino_vocab, 1+1 transformer layers)."""
+    from transformers import BertConfig, GroundingDinoConfig, SwinConfig
+
+    text = BertConfig(vocab_size=len(tiny_gdino_vocab()), hidden_size=64,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      intermediate_size=128, max_position_embeddings=64)
+    backbone = SwinConfig(image_size=224, embed_dim=16, depths=[1, 1, 1],
+                          num_heads=[1, 1, 1], out_indices=[2, 3])
+    return GroundingDinoConfig(
+        text_config=text.to_dict(), backbone_config=backbone.to_dict(),
+        d_model=64, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        num_queries=20, num_feature_levels=2)
 
 
 def tiny_sam_config():
