@@ -260,3 +260,62 @@ def test_nonfinite_gradient_guard():
     )
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_equals_sequential_steps():
+    """make_seg_train_multi_step scans N steps in one program; with the same
+    derived dropout keys it must reproduce the sequential step exactly."""
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, make_seg_train_step, make_seg_train_multi_step)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    B, S, K = 2, 32, 3
+    x = jnp.asarray(rng.uniform(-1, 1, (K, B, S, S, 3)).astype(np.float32))
+    m = jnp.asarray(rng.integers(0, 2, (K, B, S, S)).astype(np.int32))
+    valid = jnp.ones((K, B), bool)
+
+    state, tx = create_seg_state(model, key, input_size=S, batch=B)
+    step = make_seg_train_step(model, tx)
+    p1, s1, o1 = state.params, state.batch_stats, state.opt_state
+    for i in range(K):
+        p1, s1, o1, _ = step(p1, s1, o1, x[i], m[i], valid[i],
+                             jax.random.fold_in(key, i))
+
+    state2, tx2 = create_seg_state(model, key, input_size=S, batch=B)
+    multi = make_seg_train_multi_step(model, tx2)
+    p2, s2, o2, losses = multi(state2.params, state2.batch_stats,
+                               state2.opt_state, x, m, valid, key)
+    assert losses.shape == (K,)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+
+
+def test_chunked_epoch_trains():
+    """train_segmentation_model with steps_per_dispatch>1: same step count,
+    loss decreases, tail batches still processed."""
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, train_segmentation_model)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    rng = np.random.default_rng(1)
+    N, S = 10, 32  # batch 2 -> 5 batches: 2 chunks of 2 + 1 leftover
+    images = (rng.uniform(0, 255, (N, S, S, 3))).astype(np.uint8)
+    masks = np.zeros((N, S, S), np.uint8)
+    masks[:, :, : S // 2] = 1
+    images[:, :, : S // 2] += 60
+
+    state, tx = create_seg_state(model, jax.random.PRNGKey(2), input_size=S, batch=2)
+    state, first_loss = train_segmentation_model(
+        model, state, tx, images, masks, num_epochs=1, batch_size=2,
+        seg_size=S, steps_per_dispatch=2, log=lambda *a: None)
+    assert state.step == 5
+    state, last_loss = train_segmentation_model(
+        model, state, tx, images, masks, num_epochs=3, batch_size=2,
+        seg_size=S, steps_per_dispatch=2, log=lambda *a: None)
+    assert state.step == 20
+    assert np.isfinite(last_loss)
+    assert last_loss < first_loss
