@@ -319,3 +319,28 @@ def test_chunked_epoch_trains():
     assert state.step == 20
     assert np.isfinite(last_loss)
     assert last_loss < first_loss
+
+
+def test_fc_cached_matches_uncached():
+    """Feature-cached fc training (frozen backbone, deterministic loader) must
+    reproduce the uncached epoch loop: same final fc params and printouts."""
+    from weaklysuperviseddl_tpu.data import download_data
+    from weaklysuperviseddl_tpu.data.loader import batches
+    from weaklysuperviseddl_tpu.models.classifier import CamClassifier
+    from weaklysuperviseddl_tpu.train.classifier import train_fc_only
+
+    ds = download_data(None, split="trainval", synthetic_size=10, image_size=32)
+    model = CamClassifier(num_classes=5, depth=18, width_multiplier=0.25)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    loader_fn = lambda: batches(ds, 4, pad_to_full=True)
+
+    logs_a, logs_b = [], []
+    va = train_fc_only(model, variables, loader_fn, epochs=3, num_classes=5,
+                       image_size=32, cache_features=False, log=logs_a.append)
+    vb = train_fc_only(model, variables, loader_fn, epochs=3, num_classes=5,
+                       image_size=32, cache_features=True, log=logs_b.append)
+    for a, b in zip(jax.tree.leaves(va["params"]["fc"]),
+                    jax.tree.leaves(vb["params"]["fc"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert logs_a == logs_b  # identical printout contract incl. loss/acc text
