@@ -166,3 +166,17 @@ def test_foundation_both_real_backends_from_config():
     mask = pipe.run_segmentation_pipeline(image, prompts=("a cat", "a dog"))
     assert mask.shape == (64, 64)
     assert set(np.unique(mask)).issubset({0, 1})
+
+
+def test_hf_from_pretrained_raises_offline(monkeypatch):
+    """The from_pretrained branches must fail loudly (not hang, not silently
+    degrade) when weights can't be fetched — the zero-egress contract stated
+    in pipelines/foundation.py's module docstring."""
+    from weaklysuperviseddl_tpu.pipelines.foundation import hf_detector, hf_segmenter
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
+    with pytest.raises(Exception):
+        hf_detector(model_name="IDEA-Research/grounding-dino-base")
+    with pytest.raises(Exception):
+        hf_segmenter(model_name="facebook/sam-vit-base")

@@ -169,3 +169,23 @@ def test_native_cc_matches_device_cc():
 def test_native_cc_empty_passthrough():
     empty = np.zeros((8, 8), np.uint8)
     np.testing.assert_array_equal(native.keep_largest(empty), empty)
+
+
+def test_permutohedral_overflow_fails_loudly():
+    """Features whose lattice coordinates exceed the 12-bit packed-key range
+    must NOT silently clip into corrupted filtering (ADVICE r2): the splat
+    weights are NaN-poisoned so the output turns NaN."""
+    import jax.numpy as jnp
+    from weaklysuperviseddl_tpu.masks.permutohedral import (
+        permutohedral_filter, permutohedral_precompute)
+
+    rng = np.random.default_rng(3)
+    ok_feats = jnp.asarray(rng.uniform(0, 10, (64, 2)).astype(np.float32))
+    vals = jnp.asarray(rng.uniform(0, 1, (64, 2)).astype(np.float32))
+    out_ok = np.asarray(permutohedral_filter(vals, permutohedral_precompute(ok_feats)))
+    assert np.isfinite(out_ok).all()
+
+    bad_feats = ok_feats * 1e4  # coordinates far beyond ±2047
+    out_bad = np.asarray(
+        permutohedral_filter(vals, permutohedral_precompute(bad_feats)))
+    assert np.isnan(out_bad).any()

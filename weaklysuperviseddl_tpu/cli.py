@@ -77,6 +77,13 @@ def main(argv=None):
 
         script = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "scripts", "parity_harness.py")
+        if not os.path.exists(script):
+            # the harness drives torch goldens from tests/torch_ref.py, so it
+            # lives in the source checkout, not the installed package
+            print("error: the 'parity' command requires a source checkout "
+                  "(scripts/parity_harness.py not found next to the package); "
+                  "run it from the repository root", file=sys.stderr)
+            return 2
         saved_argv = sys.argv
         sys.argv = [script] + argv[1:]
         try:
@@ -89,7 +96,9 @@ def main(argv=None):
     parser.add_argument("command", choices=[
         "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun",
         "bench", "parity",
-    ])
+    ], help="pipeline to run; 'parity' is dispatched before this parser to "
+            "scripts/parity_harness.py (source checkout only) and owns its "
+            "own flags — see that script's --help")
     parser.add_argument("--smoke", action="store_true", help="tiny config for smoke runs")
     parser.add_argument("--weights", default="./Weights/basnet.pth")
     parser.add_argument("--devices", type=int, default=8)

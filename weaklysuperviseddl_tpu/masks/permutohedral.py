@@ -162,6 +162,15 @@ def permutohedral_precompute(feats):
 
     keys_e = keys.reshape(M, d)
     wt_e = wt.reshape(M)
+    # Loud failure on coordinate overflow: _pack_keys clips to the 12-bit
+    # range (±2047), which would silently corrupt the filtering for
+    # out-of-range features. Static callers should pre-check with
+    # coordinate_bound (densecrf.py does); for direct users we poison the
+    # splat weights with NaN when any key exceeds the packed range, so the
+    # filter output turns NaN instead of quietly wrong (a runtime raise is
+    # not expressible inside jit without checkify).
+    overflow = jnp.max(jnp.abs(keys_e)) > _COORD_MAX
+    wt_e = jnp.where(overflow, jnp.nan, wt_e)
     packed = _pack_keys(keys_e)
 
     # --- sort entries by key; equal-key runs are the lattice vertices

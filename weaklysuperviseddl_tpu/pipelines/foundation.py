@@ -8,11 +8,14 @@ mask; eval vs trimap∈{1,3}; saves masks + 3-panel viz.
 Design: the pipeline is dependency-injected — ``detector(image, prompts) →
 boxes [N,4]`` and ``segmenter(image, boxes) → masks [N,H,W] float`` — so the
 orchestration, mask fusion, eval, and persistence are fully testable without
-the (externally downloaded) HF checkpoints. ``hf_segmenter`` builds the real
-transformers SAM backend either from pretrained weights or from a config
-(random init, no downloads — see ``tiny_sam_config``); ``hf_detector``
-(GroundingDINO) remains weight-gated because its processor needs a
-downloaded text tokenizer.
+the (externally downloaded) HF checkpoints. BOTH real transformers backends
+also run from a config with zero downloads: ``hf_segmenter`` builds SAM from a
+``SamConfig`` (see ``tiny_sam_config``), and ``hf_detector`` builds
+GroundingDINO from a ``GroundingDinoConfig`` plus a locally constructed
+WordPiece vocab (``tiny_gdino_vocab`` — the processor's text tokenizer needs
+no download). Only *pretrained quality* remains weight-gated: the
+``from_pretrained`` paths raise in zero-egress environments
+(tests/test_aux.py::test_hf_from_pretrained_raises_offline).
 """
 
 from __future__ import annotations

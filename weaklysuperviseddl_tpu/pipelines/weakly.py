@@ -75,7 +75,9 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
         val_loader_fn=lambda: batches(val_ds, d.eval_batch_size),
         epochs=cfg.classifier.epochs, lr=cfg.classifier.lr,
         num_classes=d.num_classes, image_size=d.image_size,
-        interpolation=d.interpolation, log=log,
+        interpolation=d.interpolation,
+        # safe here: the loader_fn above is epoch-deterministic (fixed seed)
+        cache_features=True, log=log,
     )
     log(" Classifier trained.")
 

@@ -88,7 +88,7 @@ def train_fc_only(
     num_classes: int = 37,
     image_size: int = 224,
     interpolation: str = "bilinear",
-    cache_features: bool = True,
+    cache_features: bool = False,
     log=print,
 ):
     """Epoch loop matching the reference's printout contract
@@ -96,15 +96,19 @@ def train_fc_only(
     iterator of Batch objects per epoch. Returns updated variables.
 
     ``cache_features`` (the TPU-first restructuring of reference HOT LOOP #1,
-    ClassificationModel.py:126-132): the backbone is FROZEN and the loader
-    transforms are deterministic, so the pooled layer4 features are identical
-    every epoch — the reference still recomputes the ResNet-50 forward for
-    all 15 epochs. Here the backbone runs ONCE per image (pass 1 caches
-    pooled [N,2048] features on device), then each fc epoch is one tiny
-    scanned program over the cache: bit-identical logits/updates to the
-    uncached loop (the model computes fc(pooled) from the same pooled values)
-    at ~backbone_epochs× less compute and zero repeat host transfer. Disable
-    for augmenting loaders (whose batches change across epochs)."""
+    ClassificationModel.py:126-132): the backbone is FROZEN, so when the
+    loader is also epoch-deterministic the pooled layer4 features are
+    identical every epoch — the reference still recomputes the ResNet-50
+    forward for all 15 epochs. With caching ON the backbone runs ONCE per
+    image (pass 1 caches pooled [N,2048] features on device), then each fc
+    epoch is one tiny scanned program over the cache: bit-identical
+    logits/updates to the uncached loop (the model computes fc(pooled) from
+    the same pooled values) at ~backbone_epochs× less compute and zero repeat
+    host transfer. OPT-IN because it silently changes semantics for loaders
+    whose batches vary across epochs (augmentation, epoch-varying shuffle
+    seed): epoch-1 features and batch order would be reused for all epochs.
+    Only enable for epoch-deterministic loaders — the in-repo pipelines
+    (pipelines/weakly.py) qualify and pass True explicitly."""
     tx = optax.adam(lr)
     frozen, fc_params = split_frozen(variables)
     opt_state = tx.init(fc_params)
