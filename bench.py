@@ -119,6 +119,55 @@ def main():
     cam_rate = iters * cam_batch / _net(
         _timed(lambda: float(cam_stage_n(images, labels))), floor)
 
+    # --- stage F: classifier fc training (cached features) -------------------
+    # reference HOT LOOP #1 (ClassificationModel.py:126-132): 15 epochs of
+    # frozen-backbone fc training. TPU restructuring (train/classifier.py):
+    # ONE backbone pass caches pooled features, then every epoch is a tiny
+    # scanned fc program. Stage cost per image = 1 forward + 15 fc epochs / N.
+    import optax
+    from weaklysuperviseddl_tpu.losses.basic import per_example_nll
+
+    fc_epochs = 2 if small else 15
+    fc_nb = 2 if small else 4                      # batches cached per run
+    fc_images = jnp.asarray(
+        rng.uniform(0, 1, (fc_nb, cam_batch, cam_size, cam_size, 3)).astype(np.float32))
+    fc_labels = jnp.asarray(rng.integers(0, 37, (fc_nb, cam_batch)).astype(np.int32))
+    fc_tx = optax.adam(1e-3)
+
+    @jax.jit
+    def fc_stage_n(images_nb, labels_nb):
+        def cache_body(_, x):
+            feats = model_pool(x)
+            return None, feats
+        _, feats = jax.lax.scan(cache_body, None, images_nb)   # [nb,B,C]
+
+        fc0 = clf_vars["params"]["fc"]
+        opt0 = fc_tx.init(fc0)
+
+        def epoch(carry, _):
+            fc_p, opt = carry
+            def body(c, xs):
+                fc_p, opt = c
+                f, lab = xs
+                def loss_fn(p):
+                    logits = (f @ p["kernel"] + p["bias"]).astype(jnp.float32)
+                    return jnp.mean(per_example_nll(logits, lab))
+                l, grads = jax.value_and_grad(loss_fn)(fc_p)
+                updates, opt = fc_tx.update(grads, opt, fc_p)
+                return (optax.apply_updates(fc_p, updates), opt), l
+            (fc_p, opt), losses = jax.lax.scan(body, (fc_p, opt), (feats, labels_nb))
+            return (fc_p, opt), jnp.sum(losses)
+        (fc_p, _), losses = jax.lax.scan(epoch, (fc0, opt0), None, length=fc_epochs)
+        return jnp.sum(losses) + jnp.sum(fc_p["bias"])
+
+    def model_pool(x):
+        _logits, feats = clf.apply(clf_vars, x)
+        return jnp.mean(feats[-1], axis=(1, 2))
+
+    float(fc_stage_n(fc_images, fc_labels))  # compile
+    fc_rate = fc_nb * cam_batch / _net(
+        _timed(lambda: float(fc_stage_n(fc_images, fc_labels))), floor)
+
     # --- stage B: DeepLabV3 train step ---------------------------------------
     seg = DeepLabV3(num_classes=2, backbone_depth=depth, width_multiplier=width, dtype=dtype)
     state, tx = create_seg_state(seg, rngkey, input_size=seg_size, lr=1e-4)
@@ -212,37 +261,57 @@ def main():
         _timed(lambda: float(refine_stage_n(S, ref_images, ref_masks))), floor)
 
     cycle2 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
-    cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
+    cycle = 1.0 / (
+        1.0 / fc_rate + 1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
     cycle_crf = (
-        1.0 / (1.0 / cam_rate + 1.0 / crf_rate + 1.0 / seg_rate + 1.0 / refine_rate)
+        1.0 / (1.0 / fc_rate + 1.0 / cam_rate + 1.0 / crf_rate + 1.0 / seg_rate
+               + 1.0 / refine_rate)
         if crf_rate else None
     )
 
     vs_baseline = None
+    crf_vs_baseline = None
+    cycle_crf_vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
     if os.path.exists(baseline_path) and not small:
         with open(baseline_path) as f:
             base = json.load(f)
-        torch_cycle = base.get("torch_cpu_cycle3_img_per_s")
+        torch_cycle = base.get("torch_cpu_cycle4_img_per_s") or base.get(
+            "torch_cpu_cycle3_img_per_s")
         if torch_cycle is None:  # older baseline file: fall back to 2-stage
             torch_cycle = base["torch_cpu_cycle_img_per_s"]
             vs_baseline = cycle2 / torch_cycle
         else:
             vs_baseline = cycle / torch_cycle
+        torch_crf = base.get("torch_cpu_crf_img_per_s")
+        if torch_crf and crf_rate:
+            # same-math brute-force mean field on torch-CPU (see
+            # scripts/measure_torch_baseline.measure_crf docstring; the
+            # pydensecrf-algorithm-equivalent host C++ lattice baseline is
+            # recorded in BASELINE.md)
+            crf_vs_baseline = crf_rate / torch_crf
+        torch_cycle5 = base.get("torch_cpu_cycle5_img_per_s")
+        if torch_cycle5 and cycle_crf:
+            cycle_crf_vs_baseline = cycle_crf / torch_cycle5
 
     result = {
-        "metric": "weakly-supervised cycle throughput (LayerCAM+mask gen, "
-                  "DeepLabV3 train step, alternating-direction refinement)",
+        "metric": "weakly-supervised cycle throughput (classifier fc training, "
+                  "LayerCAM+mask gen, DeepLabV3 train step, "
+                  "alternating-direction refinement)",
         "value": round(cycle, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "detail": {
+            "fc_img_per_s": round(fc_rate, 2),
             "cam_img_per_s": round(cam_rate, 2),
             "seg_train_img_per_s": round(seg_rate, 2),
             "refine_img_per_s": round(refine_rate, 2),
             "cycle2_img_per_s": round(cycle2, 2),
             "crf_img_per_s": round(crf_rate, 2) if crf_rate else None,
+            "crf_vs_baseline": round(crf_vs_baseline, 2) if crf_vs_baseline else None,
             "cycle_crf_on_img_per_s": round(cycle_crf, 2) if cycle_crf else None,
+            "cycle_crf_vs_baseline": (
+                round(cycle_crf_vs_baseline, 2) if cycle_crf_vs_baseline else None),
             "cam_batch": cam_batch,
             "seg_batch": seg_batch,
             "refine_batch": ref_batch,

@@ -134,6 +134,95 @@ def measure_seg(n_images: int, batch: int = 4):
     return iters * batch / dt
 
 
+def measure_fc(n_images: int, epochs: int = 15, batch: int = 32):
+    """Classifier fc-only training (reference HOT LOOP #1,
+    ClassificationModel.py:70-106 / AlternatingDirectionCutLoss.py:116-141):
+    every epoch re-runs the frozen ResNet-50 forward over the whole dataset;
+    only the fc layer gets gradients. Returns DATASET images / total training
+    time (i.e. the per-image cost of the complete ``epochs``-epoch training,
+    the same accounting bench.py uses for its cached-features fc stage)."""
+    torch.manual_seed(0)
+    model = TResNetCAM(depth=50, width=1.0, num_classes=37)
+    for name, p in model.named_parameters():
+        p.requires_grad = name.startswith("fc")
+    opt = torch.optim.Adam([p for p in model.parameters() if p.requires_grad], lr=1e-3)
+    ce = nn.CrossEntropyLoss()
+    rng = np.random.default_rng(3)
+
+    def step():
+        x = torch.from_numpy(rng.uniform(0, 1, (batch, 3, 224, 224)).astype(np.float32))
+        y = torch.from_numpy(rng.integers(0, 37, batch))
+        logits, _ = model(x)
+        loss = ce(logits, y)
+        opt.zero_grad(); loss.backward(); opt.step()
+
+    step()  # warm
+    iters = max(1, n_images // batch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    per_image_per_epoch = (time.perf_counter() - t0) / (iters * batch)
+    return 1.0 / (per_image_per_epoch * epochs)
+
+
+def measure_crf(n_images: int = 1, size: int = 224, n_iters: int = 5,
+                gauss_sxy=1.0, gauss_compat=2.0,
+                bilat_sxy=50.0, bilat_srgb=5.0, bilat_compat=10.0):
+    """Dense-CRF mean field with the reference's parameters
+    (AlternatingDirectionCutLoss.py:183-204) as SAME-MATH brute-force kernel
+    attention on CPU (pydensecrf is not installable here): symmetric-
+    normalized Gaussian + bilateral message passes, blocked torch matmuls so
+    the N×N kernel never fully materializes. NOTE this is the exact O(N²)
+    form; pydensecrf's permutohedral is O(N) — the repo's own C++ lattice
+    (native/wsdl_native.cpp, 310-430 ms/img at 224²) is the
+    algorithm-equivalent baseline for that and is recorded separately in
+    BASELINE.md."""
+    rng = np.random.default_rng(4)
+    N = size * size
+    ys, xs_ = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    def filter_apply(feats, vals, block=2048):
+        """exp(-||f_i - f_j||²/2) @ vals, blocked over rows."""
+        sq = (feats ** 2).sum(1)
+        out = torch.empty((N, vals.shape[1]))
+        for s in range(0, N, block):
+            e = min(s + block, N)
+            d = sq[s:e, None] + sq[None, :] - 2.0 * feats[s:e] @ feats.T
+            out[s:e] = torch.exp(-0.5 * d.clamp(min=0)) @ vals
+        return out
+
+    def one():
+        img = rng.uniform(0, 255, (size, size, 3)).astype(np.float32)
+        cam = rng.uniform(0.05, 0.95, (size, size)).astype(np.float32)
+        probs = np.stack([1.0 - cam, cam], -1).reshape(N, 2).clip(1e-8, 1.0)
+        unary = -np.log(probs)
+        fg = torch.from_numpy(
+            np.stack([xs_.ravel() / gauss_sxy, ys.ravel() / gauss_sxy], 1))
+        fb = torch.from_numpy(np.concatenate([
+            np.stack([xs_.ravel() / bilat_sxy, ys.ravel() / bilat_sxy], 1),
+            img.reshape(N, 3) / bilat_srgb], 1))
+        with torch.no_grad():
+            ones = torch.ones((N, 1))
+            inv_g = (filter_apply(fg, ones).clamp(min=1e-20)) ** -0.5
+            inv_b = (filter_apply(fb, ones).clamp(min=1e-20)) ** -0.5
+            # same math as masks/densecrf.densecrf_inference: symmetric-
+            # normalized SELF-INCLUDED messages, Q0 = softmax(-unary)
+            U = torch.from_numpy(unary)
+            Q = torch.softmax(-U, dim=1)
+            for _ in range(n_iters):
+                mg = filter_apply(fg, Q * inv_g) * inv_g
+                mb = filter_apply(fb, Q * inv_b) * inv_b
+                pair = gauss_compat * mg + bilat_compat * mb
+                Q = torch.softmax(-U + pair, dim=1)
+        return Q
+
+    one()  # warm (and the first call pays allocator growth)
+    t0 = time.perf_counter()
+    for _ in range(n_images):
+        one()
+    return n_images / (time.perf_counter() - t0)
+
+
 def _torch_ncut(preds_nchw, images_nchw, sigma_color=0.1, window=5):
     """Reference LocalNormalizedCutLoss semantics
     (AlternatingDirectionCutLoss.py:65-105): 24-offset shifted-slice sum."""
@@ -192,14 +281,24 @@ def main():
     cam_rate = measure_cam(n)
     seg_rate = measure_seg(n)
     refine_rate = measure_refine(max(2, n // 2))
+    fc_rate = measure_fc(n)
+    crf_rate = measure_crf(1)
     cycle = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
     cycle3 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
+    cycle4 = 1.0 / (1.0 / fc_rate + 1.0 / cam_rate + 1.0 / seg_rate
+                    + 1.0 / refine_rate)
+    cycle5 = 1.0 / (1.0 / fc_rate + 1.0 / cam_rate + 1.0 / crf_rate
+                    + 1.0 / seg_rate + 1.0 / refine_rate)
     out = {
         "torch_cpu_cam_img_per_s": cam_rate,
         "torch_cpu_seg_train_img_per_s": seg_rate,
         "torch_cpu_refine_img_per_s": refine_rate,
+        "torch_cpu_fc_img_per_s": fc_rate,
+        "torch_cpu_crf_img_per_s": crf_rate,
         "torch_cpu_cycle_img_per_s": cycle,
         "torch_cpu_cycle3_img_per_s": cycle3,
+        "torch_cpu_cycle4_img_per_s": cycle4,
+        "torch_cpu_cycle5_img_per_s": cycle5,
         "n_images": n,
         "threads": torch.get_num_threads(),
         "torch_version": torch.__version__,

@@ -112,3 +112,31 @@ def test_alternating_loop_smoke():
     assert any("completed" in s for s in logs)
     _, masks, _ = store.as_arrays()
     assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_dp_refine_matches_single_device():
+    """VERDICT r2 item 3: refinement under data parallelism — batch sharded on
+    the 'data' mesh axis — must equal the unsharded result (the vmap over
+    images is embarrassingly parallel; GSPMD only splits it)."""
+    from weaklysuperviseddl_tpu.parallel import make_mesh, batch_sharding
+    from weaklysuperviseddl_tpu.train.refine import refine_from_soft_predictions
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(21)
+    B, S = 8, 24
+    probs = rng.uniform(0.1, 1.0, (B, S, S, 2)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    images = rng.uniform(-1, 1, (B, S, S, 3)).astype(np.float32)
+    masks = rng.integers(0, 2, (B, S, S)).astype(np.int32)
+
+    kwargs = dict(lambda_boundary=0.1, threshold=0.5, lr=1e-2, num_steps=5,
+                  use_pallas=False)
+    ref, ref_loss = refine_from_soft_predictions(
+        jnp.asarray(probs), jnp.asarray(images), jnp.asarray(masks), **kwargs)
+
+    sp = jax.device_put(probs, batch_sharding(mesh, 4))
+    si = jax.device_put(images, batch_sharding(mesh, 4))
+    sm = jax.device_put(masks, batch_sharding(mesh, 3))
+    out, out_loss = refine_from_soft_predictions(sp, si, sm, **kwargs)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_allclose(float(out_loss), float(ref_loss), rtol=1e-5)

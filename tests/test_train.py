@@ -344,3 +344,72 @@ def test_fc_cached_matches_uncached():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     assert logs_a == logs_b  # identical printout contract incl. loss/acc text
+
+
+def _tiny_seg_dataset(rng, N, S):
+    images = (rng.uniform(0, 255, (N, S, S, 3))).astype(np.uint8)
+    masks = np.zeros((N, S, S), np.uint8)
+    masks[:, :, : S // 2] = 1
+    images[:, :, : S // 2] += 60
+    return images, masks
+
+
+def test_dp_chunked_epoch_matches_per_step():
+    """VERDICT r2 item 2: chunked dispatch on a dp×tp mesh — sharded resident
+    dataset, shard_map local gathers, [K,B] per-shard index tables — must
+    reproduce the per-step dp epoch exactly (same seed → same params), and
+    the single-device epoch with the same per-shard order semantics must use
+    no host-built batches at all (that branch is deleted)."""
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, train_segmentation_model)
+
+    mesh = make_mesh(data=4, model=2)
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    rng = np.random.default_rng(7)
+    N, S, B = 18, 32, 8  # ragged: 18 = 4 shards x 5 local (2 wrap-pad), tail batch
+    images, masks = _tiny_seg_dataset(rng, N, S)
+
+    def run(steps_per_dispatch):
+        state, tx = create_seg_state(
+            model, jax.random.PRNGKey(3), input_size=S, batch=2, mesh=mesh)
+        state, loss = train_segmentation_model(
+            model, state, tx, images, masks, num_epochs=2, batch_size=B,
+            seg_size=S, seed=11, mesh=mesh,
+            steps_per_dispatch=steps_per_dispatch, log=lambda *a: None)
+        return state, loss
+
+    s_chunk, l_chunk = run(3)
+    s_step, l_step = run(1)
+    assert s_chunk.step == s_step.step
+    np.testing.assert_allclose(l_chunk, l_step, rtol=1e-5)
+    flat_a = jax.tree.leaves(s_chunk.params)
+    flat_b = jax.tree.leaves(s_step.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_single_device_chunked_matches_per_step():
+    """Same determinism contract off-mesh: dispatch grouping must not change
+    the training trajectory (dropout keys fold in the GLOBAL step index)."""
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, train_segmentation_model)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    rng = np.random.default_rng(9)
+    N, S, B = 10, 32, 4
+    images, masks = _tiny_seg_dataset(rng, N, S)
+
+    def run(steps_per_dispatch):
+        state, tx = create_seg_state(
+            model, jax.random.PRNGKey(5), input_size=S, batch=2)
+        state, loss = train_segmentation_model(
+            model, state, tx, images, masks, num_epochs=1, batch_size=B,
+            seg_size=S, seed=13, steps_per_dispatch=steps_per_dispatch,
+            log=lambda *a: None)
+        return state, loss
+
+    s_chunk, l_chunk = run(2)
+    s_step, l_step = run(1)
+    np.testing.assert_allclose(l_chunk, l_step, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_chunk.params), jax.tree.leaves(s_step.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -34,8 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DA = 8         # augmented feature dim, padded to the fp32 sublane minimum
-_BQ = 256       # query rows per program
-_BK = 512       # key rows per program
+# Block shapes swept on v5e at N=224² (round 3): 256×512 = 9.1 ms/call,
+# 512×1024 = 7.0, 512×2048 = 6.7 (best; 1024×1024 ties), 512×4096 regresses
+# (VMEM pressure breaks double buffering). The win is per-program overhead
+# amortization — exp is only ~2.5 ms of the call, so a bf16 exp variant
+# bought nothing (measured 0% at 6.8e-2 relative error; rejected).
+_BQ = 512       # query rows per program
+_BK = 2048      # key rows per program
 _CP = 128       # value channels padded to one MXU lane tile
 
 

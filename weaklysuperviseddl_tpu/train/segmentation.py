@@ -187,38 +187,72 @@ def train_segmentation_model(
     15 img/s against the step's 600+ img/s compute. The ragged tail runs as
     a single-batch program (a padded chunk would perturb BN running stats
     and Adam moments). Set 1 to disable chunking (gathers still apply).
+
+    Multi-chip layout (mesh given): the resident dataset is SHARDED on the
+    'data' axis (each chip holds N/D examples) and every shard draws batches
+    from its own slice via a ``shard_map`` local gather — per-shard shuffling
+    with wrap-around padding, the DistributedSampler contract, so no
+    cross-chip gather traffic ever moves dataset rows. Chunked dispatch works
+    identically (the index tables are per-shard local indices, laid out on
+    'data'). A tp-only mesh (data=1) replicates the resident arrays across
+    the 'model' axis explicitly. Batch sizes not divisible by the data axis
+    (smoke scale) fall back to unsharded resident arrays on device 0 with a
+    warning — XLA still produces the same result, just without dp layout.
     """
-    # chunking composes with dp/tp once inputs are sharded per chunk; until
-    # that path is wired, multi-device meshes keep the per-step loop (whose
-    # _shard_in puts each batch on the 'data' axis)
-    multi_device = mesh is not None and mesh.shape.get("data", 1) > 1
     step = make_seg_train_step(model, tx, loss_fn)
-    use_chunks = steps_per_dispatch > 1 and not multi_device
 
     from weaklysuperviseddl_tpu.ops.resize import resize_nearest
 
-    def _gather_prep(dev_images, dev_masks, idx):
-        """idx [B] → preprocessed (x, m) from the resident dataset arrays."""
-        raw = dev_images[idx]
+    n = images.shape[0]
+    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
+    dp = data_axis > 1
+    if dp and batch_size % data_axis != 0:
+        log(f"[Run {run_id}] batch {batch_size} not divisible by data axis "
+            f"{data_axis}; inputs left unsharded")
+        dp = False
+
+    def _prep(raw, m):
         x, _ = preprocess_batch(raw, None, size=seg_size)
         x = _normalize_images(x)  # seg dataset normalizes (ref SegmentationDataset.py:24)
-        m = dev_masks[idx].astype(jnp.int32)
+        m = m.astype(jnp.int32)
         if m.shape[1] != seg_size:
             m = resize_nearest(m, (seg_size, seg_size), torch_legacy=False, axes=(1, 2))
         return x, m
 
+    if dp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _gather_prep(dev_images, dev_masks, idx):
+            """idx [B] carries PER-SHARD LOCAL indices grouped by shard
+            (positions [s·B/D, (s+1)·B/D) address shard s's slice): the
+            gather runs inside shard_map, so each chip reads only its own
+            dataset shard — zero cross-chip index traffic."""
+            raw, m = jax.shard_map(
+                lambda im, mk, ix: (im[ix], mk[ix]),
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+            )(dev_images, dev_masks, idx)
+            return _prep(raw, m)
+    else:
+        def _gather_prep(dev_images, dev_masks, idx):
+            """idx [B] → preprocessed (x, m) from the resident dataset arrays."""
+            return _prep(dev_images[idx], dev_masks[idx])
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def chunk_step(params, stats, opt, dev_images, dev_masks, idxs, valid, rng):
+    def chunk_step(params, stats, opt, dev_images, dev_masks, idxs, valid, ts, rng):
+        # dropout key = fold_in(epoch_key, GLOBAL step index): the same seed
+        # produces bit-identical training regardless of dispatch grouping
+        # (chunked == per-step, tested)
         def body(carry, xs):
             params, stats, opt = carry
-            idx, v, i = xs
+            idx, v, t = xs
             x, m = _gather_prep(dev_images, dev_masks, idx)
             params, stats, opt, l = step(
-                params, stats, opt, x, m, v, jax.random.fold_in(rng, i))
+                params, stats, opt, x, m, v, jax.random.fold_in(rng, t))
             return (params, stats, opt), l
-        k = idxs.shape[0]
         (params, stats, opt), losses = jax.lax.scan(
-            body, (params, stats, opt), (idxs, valid, jnp.arange(k)))
+            body, (params, stats, opt), (idxs, valid, ts))
         return params, stats, opt, jnp.sum(losses)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -226,80 +260,104 @@ def train_segmentation_model(
         x, m = _gather_prep(dev_images, dev_masks, idx)
         return step(params, stats, opt, x, m, valid, rng)
 
-    n = images.shape[0]
-    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
-    if mesh is not None and batch_size % data_axis == 0:
-        from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding
-
-        _shard_in = lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim))
-    else:
-        # indivisible batch (smoke scale): params keep their mesh layout,
-        # inputs stay unsharded — XLA still produces the same result
-        if mesh is not None and batch_size % data_axis != 0:
-            log(f"[Run {run_id}] batch {batch_size} not divisible by data axis "
-                f"{data_axis}; inputs left unsharded")
-        _shard_in = lambda a: a
     rng = np.random.default_rng(seed)
     dropout_key = jax.random.PRNGKey(seed + 1)
     final_loss = 0.0
 
     # the dataset lives on device for the whole run: batches are on-device
     # gathers, dispatches ship only index tables (see docstring)
-    dev_images = None
-    if not multi_device:
+    if dp:
+        from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding
+
+        D = data_axis
+        n_local = (n + D - 1) // D
+        pad = D * n_local - n
+        if pad:  # wrap-around padding (DistributedSampler semantics)
+            images = np.concatenate([images, images[:pad]])
+            masks = np.concatenate([masks, masks[:pad]])
+        dev_images = jax.device_put(images, batch_sharding(mesh, images.ndim))
+        dev_masks = jax.device_put(masks, batch_sharding(mesh, masks.ndim))
+        local_batch = batch_size // D
+        idx_sharding = lambda ndim: NamedSharding(
+            mesh, P(*([None] * (ndim - 1) + ["data"])))
+    elif mesh is not None:
+        # tp-only mesh: replicate the resident arrays across 'model'
+        # explicitly (ADVICE r2 — no reliance on implicit GSPMD placement)
+        from weaklysuperviseddl_tpu.parallel.mesh import replicated
+
+        dev_images = jax.device_put(jnp.asarray(images), replicated(mesh))
+        dev_masks = jax.device_put(jnp.asarray(masks), replicated(mesh))
+    else:
         dev_images = jax.device_put(jnp.asarray(images))
         dev_masks = jax.device_put(jnp.asarray(masks))
 
     for epoch in range(num_epochs):
-        order = rng.permutation(n)
         total_loss = 0.0
-        batch_starts = list(range(0, n, batch_size))
-        full = [s for s in batch_starts if s + batch_size <= n]
-        K = steps_per_dispatch if use_chunks else 1
+        K = max(1, steps_per_dispatch)
 
-        # full chunks: K batches gathered + trained in one dispatch
-        chunk_cursor = 0
-        while K > 1 and chunk_cursor + K <= len(full):
-            starts = full[chunk_cursor : chunk_cursor + K]
-            idxs = jnp.asarray(
-                np.stack([order[s : s + batch_size] for s in starts]), jnp.int32)
-            valid = jnp.ones((K, batch_size), bool)
-            dropout_key, sub = jax.random.split(dropout_key)
+        if dp:
+            # per-shard epoch order: [D, n_local] local permutations; step t
+            # takes each shard's t-th block of local_batch indices
+            orders = np.stack([rng.permutation(n_local) for _ in range(D)])
+            T = (n_local + local_batch - 1) // local_batch
+            idx_rows, valid_rows = [], []
+            for t in range(T):
+                block = orders[:, t * local_batch : (t + 1) * local_batch]
+                nv = block.shape[1]
+                if nv < local_batch:  # ragged per-shard tail: pad + mask
+                    block = np.concatenate(
+                        [block, np.repeat(block[:, -1:], local_batch - nv, 1)], 1)
+                idx_rows.append(block.reshape(-1))          # [B] grouped by shard
+                v = np.zeros((D, local_batch), bool)
+                v[:, :nv] = True
+                valid_rows.append(v.reshape(-1))
+            idx_table = np.asarray(idx_rows, np.int32)      # [T, B]
+            valid_table = np.asarray(valid_rows)            # [T, B]
+        else:
+            order = rng.permutation(n)
+            T = (n + batch_size - 1) // batch_size
+            idx_rows, valid_rows = [], []
+            for t in range(T):
+                idx = order[t * batch_size : (t + 1) * batch_size]
+                nv = len(idx)
+                if nv < batch_size:
+                    idx = np.concatenate([idx, np.repeat(idx[-1], batch_size - nv)])
+                idx_rows.append(idx)
+                valid_rows.append(np.arange(batch_size) < nv)
+            idx_table = np.asarray(idx_rows, np.int32)
+            valid_table = np.asarray(valid_rows)
+
+        # full chunks of K steps run as one dispatch; the ragged tail (and
+        # any partially-valid step) runs as single-step programs so a padded
+        # chunk never perturbs the jit shapes
+        full_T = T if valid_table[-1].all() else T - 1
+        cursor = 0
+        dropout_key, epoch_key = jax.random.split(dropout_key)
+        while K > 1 and cursor + K <= full_T:
+            idxs = jnp.asarray(idx_table[cursor : cursor + K])
+            valid = jnp.asarray(valid_table[cursor : cursor + K])
+            if dp:
+                idxs = jax.device_put(idxs, idx_sharding(2))
+                valid = jax.device_put(valid, idx_sharding(2))
+            ts = jnp.arange(cursor, cursor + K)
             state.params, state.batch_stats, state.opt_state, chunk_loss = chunk_step(
                 state.params, state.batch_stats, state.opt_state,
-                dev_images, dev_masks, idxs, valid, sub,
+                dev_images, dev_masks, idxs, valid, ts, epoch_key,
             )
             state.step += K
             total_loss += float(chunk_loss)
-            chunk_cursor += K
-        done_starts = set(full[: chunk_cursor] if K > 1 else [])
-
-        for start in batch_starts:
-            if start in done_starts:
-                continue
-            idx = order[start : start + batch_size]
-            num_valid = len(idx)
-            if num_valid < batch_size:  # pad to static shape
-                idx = np.concatenate([idx, np.repeat(idx[-1], batch_size - num_valid)])
-            valid = jnp.arange(batch_size) < num_valid
-            dropout_key, sub = jax.random.split(dropout_key)
-            if dev_images is not None:
-                state.params, state.batch_stats, state.opt_state, l = single_step(
-                    state.params, state.batch_stats, state.opt_state,
-                    dev_images, dev_masks, jnp.asarray(idx, jnp.int32), valid, sub,
-                )
-            else:
-                # multi-device path: host-side batch build + 'data'-axis sharding
-                x, _ = preprocess_batch(jnp.asarray(images[idx]), None, size=seg_size)
-                x = _normalize_images(x)
-                m = jnp.asarray(masks[idx], jnp.int32)
-                if m.shape[1] != seg_size:
-                    m = resize_nearest(
-                        m, (seg_size, seg_size), torch_legacy=False, axes=(1, 2))
-                x, m, valid = _shard_in(x), _shard_in(m), _shard_in(valid)
-                state.params, state.batch_stats, state.opt_state, l = step(
-                    state.params, state.batch_stats, state.opt_state, x, m, valid, sub
-                )
+            cursor += K
+        for t in range(cursor, T):
+            idx = jnp.asarray(idx_table[t])
+            valid = jnp.asarray(valid_table[t])
+            if dp:
+                idx = jax.device_put(idx, idx_sharding(1))
+                valid = jax.device_put(valid, idx_sharding(1))
+            state.params, state.batch_stats, state.opt_state, l = single_step(
+                state.params, state.batch_stats, state.opt_state,
+                dev_images, dev_masks, idx, valid,
+                jax.random.fold_in(epoch_key, t),
+            )
             state.step += 1
             total_loss += float(l)
         final_loss = total_loss
