@@ -43,7 +43,14 @@ def main():
     ap.add_argument("--epochs-per-round", type=int, default=10)
     ap.add_argument("--refine-repeats", type=int, default=5)
     ap.add_argument("--refine-steps", type=int, default=10,
-                    help="Adam-on-X steps per refinement (ref :723 num_steps=10)")
+                    help="Adam-on-X steps per refinement (ref :803 num_steps=10)")
+    ap.add_argument("--refine-lr", type=float, default=1e-2,
+                    help="Adam-on-X lr. NOTE the reference script path passes "
+                         "lr=1e-4 (:803), which moves the one-hot X by ~1e-3 "
+                         "in 10 steps — near-identity refinement; the default "
+                         "here is the RefineConfig lr that visibly refines")
+    ap.add_argument("--refine-threshold", type=float, default=0.5,
+                    help="fg-prob threshold (ref :803 passes 0.3)")
     ap.add_argument("--classifier-epochs", type=int, default=15)
     ap.add_argument("--seg-batch", type=int, default=16)
     ap.add_argument("--use-crf", action="store_true",
@@ -71,7 +78,8 @@ def main():
         _sweep_index_table, make_refine_sweep, upload_store_resident)
     from weaklysuperviseddl_tpu.train.classifier import train_fc_only
     from weaklysuperviseddl_tpu.train.segmentation import (
-        create_seg_state, evaluate_segmentation, train_segmentation_model)
+        create_seg_state, evaluate_segmentation_dataset,
+        train_segmentation_model)
 
     cfg = ExperimentConfig(
         data=DataConfig(root=args.pet_root, synthetic_size=args.images,
@@ -85,7 +93,9 @@ def main():
             num_alternations=args.alternations,
             epochs_per_round=args.epochs_per_round,
             refine_repeats=args.refine_repeats,
-            refine=RefineConfig(num_steps=args.refine_steps),
+            refine=RefineConfig(num_steps=args.refine_steps,
+                                lr=args.refine_lr,
+                                threshold=args.refine_threshold),
         ),
     )
     d = cfg.data
@@ -148,10 +158,17 @@ def main():
         seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size,
         lr=cfg.seg.lr)
 
+    # test set resident on device once; each eval is ONE dispatch
+    test_images = jax.device_put(jnp.asarray(
+        np.stack([np.asarray(test_ds.images[i]) for i in range(len(test_ds))])))
+    test_trimaps = jax.device_put(jnp.asarray(
+        np.stack([np.asarray(test_ds.trimaps[i]) for i in range(len(test_ds))])))
+
     def eval_fn(state):
-        return evaluate_segmentation(
-            seg_model, state, batches(test_ds, d.eval_batch_size),
-            seg_size=d.seg_size, eval_size=d.image_size)
+        return evaluate_segmentation_dataset(
+            seg_model, state, test_images, test_trimaps,
+            batch_size=d.eval_batch_size, seg_size=d.seg_size,
+            eval_size=d.image_size)
 
     alt = cfg.alternating
     dev_images, dev_masks, keys = upload_store_resident(store, d.seg_size)
@@ -159,6 +176,30 @@ def main():
     idx_table = jnp.asarray(_sweep_index_table(len(keys), cfg.seg.batch_size))
     trajectory = []
     n_store = len(keys)
+
+    # direct pseudo-mask quality vs the TRUE trimaps (fg==1), measured on the
+    # resident masks — the refinement claim on the masks themselves, not
+    # through the (weak without pretrained weights) downstream net
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+    from weaklysuperviseddl_tpu.utils.metrics import (
+        binary_confusion_counts, finish_iou_and_acc)
+
+    tri_true = np.stack([np.asarray(train_ds.trimaps[i]) for i in range(n_store)])
+    dev_true = jax.device_put(jnp.asarray((tri_true == 1).astype(np.int32)))
+
+    # dev_true is a jit ARG — closed over it would be embedded in the HLO as
+    # a multi-MB literal constant at reference scale
+    @jax.jit
+    def mask_iou(dev_masks, dev_true):
+        m = resize_nearest(dev_masks, dev_true.shape[1:3],
+                           torch_legacy=False, axes=(1, 2)).astype(jnp.int32)
+        return finish_iou_and_acc(binary_confusion_counts(m, dev_true))
+
+    m_iou, m_acc = (float(v) for v in mask_iou(dev_masks, dev_true))
+    mask_trajectory = [{"stage": "initial_pseudo_masks",
+                        "iou": round(m_iou, 4), "acc": round(m_acc, 4)}]
+    print(f"pseudo-mask quality vs trimaps: IoU {m_iou:.4f} acc {m_acc:.4f}",
+          flush=True)
 
     # pre-alternation baseline eval (IoU of the untrained model is noise; the
     # trajectory starts after the first training round, like the reference's
@@ -184,6 +225,11 @@ def main():
                     state.params, state.batch_stats, dev_masks, dev_images,
                     idx_table)
             _ = float(jnp.sum(dev_masks.astype(jnp.int32)))  # force readback
+        m_iou, m_acc = (float(v) for v in mask_iou(dev_masks, dev_true))
+        mask_trajectory.append({"stage": f"after_alt_{iteration + 1}",
+                                "iou": round(m_iou, 4), "acc": round(m_acc, 4)})
+        print(f"  mask quality after sweeps: IoU {m_iou:.4f} acc {m_acc:.4f}",
+              flush=True)
 
     with sw.phase("final_eval", images=len(test_ds)):
         final_iou, final_acc = eval_fn(state)
@@ -212,6 +258,7 @@ def main():
             } for name in sw.times
         },
         "iou_trajectory": trajectory,
+        "mask_iou_trajectory": mask_trajectory,
         "final": {"iou": round(final_iou, 4), "acc": round(final_acc, 4)},
     }
     with open(args.out, "w") as f:

@@ -82,3 +82,35 @@ def test_serving_predictor():
     masks = pred(imgs)  # ragged batch (3 < max_batch 4) reuses the program
     assert masks.shape == (3, 64, 64)
     assert set(np.unique(masks)).issubset({0, 1})
+
+
+def test_pseudo_mask_generation_dispatch_invariance():
+    """The device-resident generate_pseudo_masks must produce identical
+    stores regardless of batches_per_dispatch grouping, and respect the
+    max_images cap with ragged loader tails."""
+    import jax
+    from weaklysuperviseddl_tpu.data import download_data
+    from weaklysuperviseddl_tpu.data.loader import batches
+    from weaklysuperviseddl_tpu.masks.pseudo import generate_pseudo_masks
+    from weaklysuperviseddl_tpu.pipelines.weakly import build_classifier
+
+    cfg = smoke_config()
+    ds = download_data(None, split="trainval", synthetic_size=11,
+                       image_size=cfg.data.image_size, seed=3,
+                       num_classes=cfg.data.num_classes)
+    model, variables = build_classifier(cfg, rng=jax.random.PRNGKey(4))
+
+    def gen(bpd):
+        return generate_pseudo_masks(
+            batches(ds, 4, pad_to_full=True), model, variables,
+            image_size=cfg.data.image_size, max_images=10,
+            batches_per_dispatch=bpd)
+
+    a = gen(None)
+    b = gen(1)
+    assert len(a) == len(b) == 10  # capped below the 11 available
+    for k in a.keys():
+        ia, ma = a.get(k)
+        ib, mb = b.get(k)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(ia, ib)

@@ -140,3 +140,48 @@ def test_dp_refine_matches_single_device():
     out, out_loss = refine_from_soft_predictions(sp, si, sm, **kwargs)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     np.testing.assert_allclose(float(out_loss), float(ref_loss), rtol=1e-5)
+
+
+def test_resident_sweep_matches_direct_refinement():
+    """make_refine_sweep (the one-dispatch device-resident sweep) must equal
+    refine_pseudo_masks batch by batch — including actually writing refined
+    masks back into the resident array (guards the round-3 restructuring)."""
+    from weaklysuperviseddl_tpu.config import RefineConfig
+    from weaklysuperviseddl_tpu.data.preprocess import preprocess_batch
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.train.alternating import (
+        _sweep_index_table, make_refine_sweep)
+    from weaklysuperviseddl_tpu.train.refine import refine_pseudo_masks
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        _normalize_images, create_seg_state)
+
+    rng = np.random.default_rng(0)
+    S = 32
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _tx = create_seg_state(model, jax.random.PRNGKey(0), input_size=S)
+    images = (rng.uniform(0, 255, (6, S, S, 3))).astype(np.uint8)
+    masks = rng.integers(0, 2, (6, S, S)).astype(np.uint8)
+
+    # strong steps so refinement actually flips pixels (lr 1e-2 x 10 steps
+    # cannot move a one-hot X past the 0.5 threshold — that near-identity
+    # regime is the reference's own script setting, see run_reference_scale)
+    cfg = RefineConfig(lr=0.5, num_steps=25, use_pallas=False)
+    sweep = make_refine_sweep(model, cfg, seg_size=S)
+    out, _loss = sweep(state.params, state.batch_stats, jnp.asarray(masks),
+                       jnp.asarray(images), jnp.asarray(_sweep_index_table(6, 2)))
+    out = np.asarray(out)
+    assert (out != masks).mean() > 0.05  # it refined something
+
+    x, _ = preprocess_batch(jnp.asarray(images), None, size=S)
+    x = _normalize_images(x)
+    direct = []
+    for s0 in range(0, 6, 2):
+        r, _l = refine_pseudo_masks(
+            model, state.params, state.batch_stats, x[s0:s0 + 2],
+            jnp.asarray(masks[s0:s0 + 2], jnp.int32),
+            lambda_boundary=cfg.lambda_boundary, threshold=cfg.threshold,
+            lr=cfg.lr, num_steps=cfg.num_steps, sigma_color=cfg.sigma_color,
+            sigma_space=cfg.sigma_space, window_size=cfg.window_size,
+            loss=cfg.loss, use_pallas=False)
+        direct.append(np.asarray(r))
+    np.testing.assert_array_equal(out, np.concatenate(direct))

@@ -413,3 +413,24 @@ def test_single_device_chunked_matches_per_step():
     np.testing.assert_allclose(l_chunk, l_step, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s_chunk.params), jax.tree.leaves(s_step.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_resident_eval_matches_loader_eval():
+    """evaluate_segmentation_dataset (one-dispatch resident eval) must equal
+    the per-batch loader eval's mean per-image IoU/acc."""
+    from weaklysuperviseddl_tpu.data import download_data
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, evaluate_segmentation, evaluate_segmentation_dataset)
+
+    ds = download_data(None, split="test", synthetic_size=11, image_size=32,
+                       seed=5, num_classes=5)
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    a_iou, a_acc = evaluate_segmentation(
+        model, state, batches(ds, 4), seg_size=32, eval_size=32)
+    images = np.stack([np.asarray(ds.images[i]) for i in range(len(ds))])
+    tris = np.stack([np.asarray(ds.trimaps[i]) for i in range(len(ds))])
+    b_iou, b_acc = evaluate_segmentation_dataset(
+        model, state, images, tris, batch_size=4, seg_size=32, eval_size=32)
+    np.testing.assert_allclose(a_iou, b_iou, atol=1e-5)
+    np.testing.assert_allclose(a_acc, b_acc, atol=1e-5)

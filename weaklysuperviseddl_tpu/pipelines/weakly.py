@@ -47,7 +47,11 @@ def build_classifier(cfg: ExperimentConfig, rng=None):
         dtype=jnp.dtype(cfg.classifier.dtype),
     )
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
-    variables = model.init(rng, jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3)))
+    # jit the init: unjitted flax init executes op-by-op, which on an
+    # attached-relay device is hundreds of ~25 ms dispatches (measured:
+    # minutes of wall clock for ResNet-50)
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3)))
     return model, variables
 
 

@@ -5,8 +5,12 @@ AlternatingDirectionCutLoss.py:116-141): Adam(1e-3) on the fc layer only,
 CrossEntropy over 37 breeds, per-epoch train acc + val acc/macro-F1.
 
 TPU design: instead of requires_grad flags, the train step differentiates only
-w.r.t. the fc params (backbone params enter as a closure constant — XLA sees
-them as literals and constant-folds the frozen graph aggressively). One jit per
+w.r.t. the fc params; the frozen backbone tree is passed as a jit ARGUMENT,
+never closed over. Closing over the 25M-param tree embeds it as HLO literal
+constants — XLA then spends minutes constant-folding/layout-assigning the
+frozen graph at compile time (measured: 340 s for the pooled-feature program
+on this host vs seconds with arg-passing) and the persistent compile cache
+never hits because the weights are baked into the program hash. One jit per
 step, batch sharded on the 'data' mesh axis; metric counters are psummed by
 XLA automatically since outputs are replicated sums.
 """
@@ -155,9 +159,12 @@ def _pooled_features(model, variables, loader, image_size, interpolation):
     """One frozen-backbone pass: stacked pooled layer4 features [n_batches,B,C]
     plus labels and valid weights (padded rows keep shape static, weight 0)."""
     # pool in the model dtype — bit-identical to the pooled value the model's
-    # own forward feeds the fc (models/classifier.py:51)
+    # own forward feeds the fc (models/classifier.py:51). `variables` is a jit
+    # ARGUMENT: a closure would bake the ResNet-50 weights into the HLO as
+    # constants (minutes of compile, no persistent-cache hits — see module
+    # docstring).
     pool = jax.jit(
-        lambda x: jnp.mean(model.apply(variables, x)[1][-1], axis=(1, 2))
+        lambda v, x: jnp.mean(model.apply(v, x)[1][-1], axis=(1, 2))
     )
     feats, labels, valid = [], [], []
     for batch in loader:
@@ -165,7 +172,7 @@ def _pooled_features(model, variables, loader, image_size, interpolation):
             jnp.asarray(batch.image), None, size=image_size,
             interpolation=interpolation,
         )
-        feats.append(pool(x))
+        feats.append(pool(variables, x))
         labels.append(np.asarray(batch.label))
         valid.append(np.arange(batch.image.shape[0]) < batch.num_valid)
     if len({f.shape[0] for f in feats}) > 1:  # ragged tail batch
@@ -205,8 +212,11 @@ def _train_fc_cached(model, frozen, fc_params, tx, opt_state,
                               image_size, interpolation)
     dt = getattr(model, "dtype", jnp.float32)
 
+    # feats/labels/valid are jit args, not closures — the cached feature
+    # stack is tens of MB at full dataset scale and would otherwise be
+    # embedded in the HLO as literal constants
     @jax.jit
-    def fc_epoch(fc_params, opt_state):
+    def fc_epoch(fc_params, opt_state, tr_feats, tr_labels, tr_valid):
         def body(carry, xs):
             fc_p, opt = carry
             f, lab, w = xs
@@ -235,7 +245,7 @@ def _train_fc_cached(model, frozen, fc_params, tx, opt_state,
 
     for epoch in range(epochs):
         fc_params, opt_state, total_loss, correct, total = fc_epoch(
-            fc_params, opt_state)
+            fc_params, opt_state, tr_feats, tr_labels, tr_valid)
         log(
             f"Epoch {epoch + 1}/{epochs} - Train Loss: "
             f"{float(total_loss) / float(total):.4f}"
@@ -257,8 +267,10 @@ def evaluate_classification(
     """Accuracy + macro-F1 via accumulated per-class counters
     (ref ClassificationModel.py:109-150)."""
 
-    @partial(jax.jit)
-    def counts_step(images, labels, valid):
+    # `variables` is a jit argument (closure = weights-as-HLO-constants,
+    # see module docstring)
+    @jax.jit
+    def counts_step(variables, images, labels, valid):
         logits, _ = model.apply(variables, images)
         preds = jnp.argmax(logits, axis=1)
         return classification_counts(preds, labels, num_classes, valid=valid)
@@ -269,7 +281,7 @@ def evaluate_classification(
             jnp.asarray(batch.image), None, size=image_size, interpolation=interpolation
         )
         valid = jnp.arange(batch.image.shape[0]) < batch.num_valid
-        c = counts_step(x, jnp.asarray(batch.label), valid)
+        c = counts_step(variables, x, jnp.asarray(batch.label), valid)
         acc = c if acc is None else jax.tree.map(jnp.add, acc, c)
     accuracy, macro_f1 = finish_macro_f1(acc)
     accuracy, macro_f1 = float(accuracy), float(macro_f1)

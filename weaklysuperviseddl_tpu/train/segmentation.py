@@ -52,10 +52,11 @@ def create_seg_state(
     channels sharded on 'model', parallel.mesh.tp_leaf_sharding) and batch
     stats replicated — tensor parallelism as a config path, not special code.
     """
-    variables = model.init(
+    # jit'd init: eager flax init is op-by-op — hundreds of ~25 ms dispatches
+    # on an attached-relay device (measured minutes for DeepLabV3-50)
+    variables = jax.jit(partial(model.init, train=False))(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         jnp.zeros((batch, input_size, input_size, 3)),
-        train=False,
     )
     tx = optax.adam(lr)
     if guard_nonfinite:
@@ -292,7 +293,10 @@ def train_segmentation_model(
         dev_masks = jax.device_put(jnp.asarray(masks))
 
     for epoch in range(num_epochs):
-        total_loss = 0.0
+        # loss accumulates as a DEVICE scalar: a float() readback per dispatch
+        # would block the pipeline on the relay's ~25 ms round trip each time;
+        # one sync per epoch keeps dispatches fully async
+        total_loss = jnp.float32(0.0)
         K = max(1, steps_per_dispatch)
 
         if dp:
@@ -345,7 +349,7 @@ def train_segmentation_model(
                 dev_images, dev_masks, idxs, valid, ts, epoch_key,
             )
             state.step += K
-            total_loss += float(chunk_loss)
+            total_loss = total_loss + chunk_loss
             cursor += K
         for t in range(cursor, T):
             idx = jnp.asarray(idx_table[t])
@@ -359,9 +363,9 @@ def train_segmentation_model(
                 jax.random.fold_in(epoch_key, t),
             )
             state.step += 1
-            total_loss += float(l)
-        final_loss = total_loss
-        log(f"[Run {run_id}] Epoch {epoch + 1}/{num_epochs}, Loss: {total_loss:.4f}")
+            total_loss = total_loss + l
+        final_loss = float(total_loss)
+        log(f"[Run {run_id}] Epoch {epoch + 1}/{num_epochs}, Loss: {final_loss:.4f}")
         if eval_fn is not None:
             avg_iou, avg_acc = eval_fn(state)
             log(f"[Run {run_id}] Validation IoU: {avg_iou:.4f}, Accuracy: {avg_acc:.4f}")
@@ -408,10 +412,12 @@ def evaluate_multiclass(
     from weaklysuperviseddl_tpu.utils.metrics import per_class_iou
     from weaklysuperviseddl_tpu.ops.resize import resize_nearest
 
+    # params/stats are jit args — closing over them embeds the DeepLabV3
+    # weights as HLO constants (slow compile, defeats the persistent cache)
     @jax.jit
-    def predict(images):
+    def predict(params, batch_stats, images):
         logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, images, train=False
+            {"params": params, "batch_stats": batch_stats}, images, train=False
         )
         return jnp.argmax(logits, axis=-1)
 
@@ -420,7 +426,7 @@ def evaluate_multiclass(
         x, _ = preprocess_batch(jnp.asarray(batch.image), None, size=seg_size)
         if normalize:
             x = _normalize_images(x)
-        preds = predict(x)[: batch.num_valid]
+        preds = predict(state.params, state.batch_stats, x)[: batch.num_valid]
         masks = (jnp.asarray(batch.trimap[: batch.num_valid], jnp.int32) == 1).astype(jnp.int32)
         if preds.shape[1] != masks.shape[1]:
             preds = resize_nearest(preds, masks.shape[1:3], torch_legacy=True, axes=(1, 2))
@@ -462,6 +468,58 @@ def evaluate_segmentation_sharded(
 
     c = counts(params, stats, images, true_fg)
     iou, acc = finish_iou_and_acc(c)
+    return float(iou), float(acc)
+
+
+@partial(jax.jit, static_argnames=("model", "tri_size", "normalize", "binarize",
+                                   "seg_size"))
+def _eval_dataset_metrics(model, params, batch_stats, images_u8, trimaps,
+                          idx_table, valid, seg_size, tri_size, normalize,
+                          binarize):
+    """Whole-test-set eval as ONE program: scan over [T,B] index batches of
+    the device-resident arrays. One dispatch + one readback per eval call
+    instead of per batch (the per-batch loop costs 2 relay round trips per
+    batch — measured ~50 ms each against ~10 ms of compute)."""
+    def body(carry, xs):
+        idx, v = xs
+        x, _ = preprocess_batch(images_u8[idx], None, size=seg_size)
+        iou_b, acc_b = _eval_batch_metrics(
+            model, params, batch_stats, x, trimaps[idx], tri_size, normalize,
+            binarize)
+        w = v.astype(jnp.float32)
+        s_iou, s_acc, s_n = carry
+        return (s_iou + jnp.sum(iou_b * w), s_acc + jnp.sum(acc_b * w),
+                s_n + jnp.sum(w)), None
+    (s_iou, s_acc, s_n), _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        (idx_table, valid))
+    return s_iou / s_n, s_acc / s_n
+
+
+def evaluate_segmentation_dataset(
+    model,
+    state: SegTrainState,
+    images_u8,          # [N,H,W,3] uint8, already device-resident (or np)
+    trimaps,            # [N,h,w] uint8
+    batch_size: int = 8,
+    seg_size: int = 256,
+    eval_size: int | None = 224,
+    binarize: str = "fg1",
+    normalize: bool = True,
+):
+    """evaluate_segmentation semantics (mean of per-image IoU/acc,
+    SegmentationModel.py:126-159) over device-resident arrays in ONE
+    dispatch. Use inside alternating loops where eval repeats on a fixed
+    test set."""
+    n = images_u8.shape[0]
+    T = (n + batch_size - 1) // batch_size
+    idx = np.concatenate([np.arange(n), np.repeat(n - 1, T * batch_size - n)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(T * batch_size - n, bool)])
+    iou, acc = _eval_dataset_metrics(
+        model, state.params, state.batch_stats, jnp.asarray(images_u8),
+        jnp.asarray(trimaps), jnp.asarray(idx.reshape(T, batch_size), jnp.int32),
+        jnp.asarray(valid.reshape(T, batch_size)), seg_size, eval_size,
+        normalize, binarize)
     return float(iou), float(acc)
 
 
