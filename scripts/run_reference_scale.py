@@ -55,6 +55,15 @@ def main():
     ap.add_argument("--seg-batch", type=int, default=16)
     ap.add_argument("--use-crf", action="store_true",
                     help="CRF-refine the pseudo-masks (the :530-558 script path)")
+    ap.add_argument("--pretrain-epochs", type=int, default=0,
+                    help="supervised-pretrain the seg model on a DISJOINT "
+                         "synthetic split (true masks) before the alternating "
+                         "loop — the in-environment proxy for the reference's "
+                         "deeplabv3_resnet50(pretrained=True) "
+                         "(SegmentationModel.py:86): the refinement loop's "
+                         "KL term anchors masks to the net's predictions, so "
+                         "its mask-improvement claim needs a competent net")
+    ap.add_argument("--pretrain-images", type=int, default=200)
     ap.add_argument("--pet-root", default=None)
     ap.add_argument("--max-masks", type=int, default=200,
                     help="pseudo-mask cap (ref :604 uses 200)")
@@ -158,6 +167,28 @@ def main():
         seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size,
         lr=cfg.seg.lr)
 
+    if args.pretrain_epochs:
+        # disjoint image distribution (different seed): no leakage into the
+        # weakly-supervised train set, like ImageNet/COCO pretraining
+        with sw.phase("seg_pretraining",
+                      images=args.pretrain_images * args.pretrain_epochs):
+            pre_ds = download_data(
+                d.root, split="trainval", synthetic_size=args.pretrain_images,
+                image_size=d.image_size, seed=d.seed + 1000,
+                num_classes=d.num_classes)
+            pre_images = np.stack([np.asarray(pre_ds.images[i])
+                                   for i in range(len(pre_ds))])
+            pre_masks = np.stack(
+                [(np.asarray(pre_ds.trimaps[i]) == 1).astype(np.uint8)
+                 for i in range(len(pre_ds))])
+            state, _ = train_segmentation_model(
+                seg_model, state, tx, pre_images, pre_masks,
+                loss_fn=cfg.seg.loss_fn, num_epochs=args.pretrain_epochs,
+                batch_size=cfg.seg.batch_size, seg_size=d.seg_size,
+                seed=cfg.seed + 77, run_id="pretrain", log=lambda *a: None)
+        print(f"pretrained {args.pretrain_epochs} epochs on "
+              f"{len(pre_ds)} disjoint supervised images", flush=True)
+
     # test set resident on device once; each eval is ONE dispatch
     test_images = jax.device_put(jnp.asarray(
         np.stack([np.asarray(test_ds.images[i]) for i in range(len(test_ds))])))
@@ -244,8 +275,12 @@ def main():
             "epochs_per_round": alt.epochs_per_round,
             "refine_repeats": alt.refine_repeats,
             "refine_steps": alt.refine.num_steps,
+            "refine_lr": alt.refine.lr,
+            "refine_threshold": alt.refine.threshold,
             "classifier_epochs": cfg.classifier.epochs,
             "seg_batch": cfg.seg.batch_size, "use_crf": args.use_crf,
+            "pretrain_epochs": args.pretrain_epochs,
+            "pretrain_images": args.pretrain_images if args.pretrain_epochs else 0,
             "image_size": d.image_size, "seg_size": d.seg_size,
             "device": str(jax.devices()[0]),
         },
@@ -255,6 +290,9 @@ def main():
                 "seconds": round(sw.times[name], 3),
                 "calls": sw.counts[name],
                 "img_per_s": round(sw.rate(name), 2),
+                **({"first_call_s": round(sw.first_call_s(name), 3),
+                    "marginal_img_per_s": round(sw.marginal_rate(name), 2)}
+                   if sw.marginal_rate(name) is not None else {}),
             } for name in sw.times
         },
         "iou_trajectory": trajectory,

@@ -50,12 +50,23 @@ def _sweep_index_table(n: int, batch_size: int) -> np.ndarray:
     return idx.reshape(T, batch_size).astype(np.int32)
 
 
+_SWEEP_PROGRAMS: dict = {}
+
+
 def make_refine_sweep(model, cfg, seg_size: int = 256):
     """One whole refinement sweep as ONE jit'd program: scan over batches,
     each batch = gather from the resident dataset → frozen-net soft
     predictions → batched alternating-direction refinement
     (train/refine.py, VMEM mega-kernel on TPU) → scatter the refined masks
-    back into the device-resident mask array (carry)."""
+    back into the device-resident mask array (carry).
+
+    Memoized on (model, cfg, seg_size) — both are frozen dataclasses — so
+    repeated callers (refine_store, demos) reuse the traced program instead
+    of re-tracing a fresh closure per call."""
+    key = (model, cfg, seg_size)
+    cached = _SWEEP_PROGRAMS.get(key)
+    if cached is not None:
+        return cached
 
     @partial(jax.jit, donate_argnums=(2,))
     def sweep(params, batch_stats, dev_masks, dev_images, idx_table):
@@ -81,6 +92,7 @@ def make_refine_sweep(model, cfg, seg_size: int = 256):
         dev_masks, losses = jax.lax.scan(body, dev_masks, idx_table)
         return dev_masks, jnp.sum(losses)
 
+    _SWEEP_PROGRAMS[key] = sweep
     return sweep
 
 

@@ -153,6 +153,78 @@ def _normalize_images(images_f32):
     return (images_f32 - IMAGENET_MEAN) / IMAGENET_STD
 
 
+# (chunk_step, single_step) memoized across train_segmentation_model calls:
+# fresh closures per call would make every alternation re-trace + re-lower the
+# epoch programs (seconds each on this host even with the persistent compile
+# cache — measured ~10s of a 15.8s alternation at reference scale). Keyed on
+# the static configuration; tx is keyed (and kept alive) by identity since
+# optax transforms don't define value equality.
+_EPOCH_PROGRAMS: dict = {}
+
+
+def _epoch_programs(model, tx, loss_fn, seg_size, mesh, dp):
+    key = (model, id(tx), loss_fn, seg_size, mesh, dp)
+    cached = _EPOCH_PROGRAMS.get(key)
+    if cached is not None:
+        return cached[1], cached[2]
+
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+
+    step = make_seg_train_step(model, tx, loss_fn)
+
+    def _prep(raw, m):
+        x, _ = preprocess_batch(raw, None, size=seg_size)
+        x = _normalize_images(x)  # seg dataset normalizes (ref SegmentationDataset.py:24)
+        m = m.astype(jnp.int32)
+        if m.shape[1] != seg_size:
+            m = resize_nearest(m, (seg_size, seg_size), torch_legacy=False, axes=(1, 2))
+        return x, m
+
+    if dp:
+        from jax.sharding import PartitionSpec as P
+
+        def _gather_prep(dev_images, dev_masks, idx):
+            """idx [B] carries PER-SHARD LOCAL indices grouped by shard
+            (positions [s·B/D, (s+1)·B/D) address shard s's slice): the
+            gather runs inside shard_map, so each chip reads only its own
+            dataset shard — zero cross-chip index traffic."""
+            raw, m = jax.shard_map(
+                lambda im, mk, ix: (im[ix], mk[ix]),
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+            )(dev_images, dev_masks, idx)
+            return _prep(raw, m)
+    else:
+        def _gather_prep(dev_images, dev_masks, idx):
+            """idx [B] → preprocessed (x, m) from the resident dataset arrays."""
+            return _prep(dev_images[idx], dev_masks[idx])
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def chunk_step(params, stats, opt, dev_images, dev_masks, idxs, valid, ts, rng):
+        # dropout key = fold_in(epoch_key, GLOBAL step index): the same seed
+        # produces bit-identical training regardless of dispatch grouping
+        # (chunked == per-step, tested)
+        def body(carry, xs):
+            params, stats, opt = carry
+            idx, v, t = xs
+            x, m = _gather_prep(dev_images, dev_masks, idx)
+            params, stats, opt, l = step(
+                params, stats, opt, x, m, v, jax.random.fold_in(rng, t))
+            return (params, stats, opt), l
+        (params, stats, opt), losses = jax.lax.scan(
+            body, (params, stats, opt), (idxs, valid, ts))
+        return params, stats, opt, jnp.sum(losses)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def single_step(params, stats, opt, dev_images, dev_masks, idx, valid, rng):
+        x, m = _gather_prep(dev_images, dev_masks, idx)
+        return step(params, stats, opt, x, m, valid, rng)
+
+    _EPOCH_PROGRAMS[key] = (tx, chunk_step, single_step)
+    return chunk_step, single_step
+
+
 def train_segmentation_model(
     model,
     state: SegTrainState,
@@ -200,10 +272,6 @@ def train_segmentation_model(
     (smoke scale) fall back to unsharded resident arrays on device 0 with a
     warning — XLA still produces the same result, just without dp layout.
     """
-    step = make_seg_train_step(model, tx, loss_fn)
-
-    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
-
     n = images.shape[0]
     data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
     dp = data_axis > 1
@@ -212,55 +280,8 @@ def train_segmentation_model(
             f"{data_axis}; inputs left unsharded")
         dp = False
 
-    def _prep(raw, m):
-        x, _ = preprocess_batch(raw, None, size=seg_size)
-        x = _normalize_images(x)  # seg dataset normalizes (ref SegmentationDataset.py:24)
-        m = m.astype(jnp.int32)
-        if m.shape[1] != seg_size:
-            m = resize_nearest(m, (seg_size, seg_size), torch_legacy=False, axes=(1, 2))
-        return x, m
-
-    if dp:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def _gather_prep(dev_images, dev_masks, idx):
-            """idx [B] carries PER-SHARD LOCAL indices grouped by shard
-            (positions [s·B/D, (s+1)·B/D) address shard s's slice): the
-            gather runs inside shard_map, so each chip reads only its own
-            dataset shard — zero cross-chip index traffic."""
-            raw, m = jax.shard_map(
-                lambda im, mk, ix: (im[ix], mk[ix]),
-                mesh=mesh,
-                in_specs=(P("data"), P("data"), P("data")),
-                out_specs=(P("data"), P("data")),
-            )(dev_images, dev_masks, idx)
-            return _prep(raw, m)
-    else:
-        def _gather_prep(dev_images, dev_masks, idx):
-            """idx [B] → preprocessed (x, m) from the resident dataset arrays."""
-            return _prep(dev_images[idx], dev_masks[idx])
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def chunk_step(params, stats, opt, dev_images, dev_masks, idxs, valid, ts, rng):
-        # dropout key = fold_in(epoch_key, GLOBAL step index): the same seed
-        # produces bit-identical training regardless of dispatch grouping
-        # (chunked == per-step, tested)
-        def body(carry, xs):
-            params, stats, opt = carry
-            idx, v, t = xs
-            x, m = _gather_prep(dev_images, dev_masks, idx)
-            params, stats, opt, l = step(
-                params, stats, opt, x, m, v, jax.random.fold_in(rng, t))
-            return (params, stats, opt), l
-        (params, stats, opt), losses = jax.lax.scan(
-            body, (params, stats, opt), (idxs, valid, ts))
-        return params, stats, opt, jnp.sum(losses)
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def single_step(params, stats, opt, dev_images, dev_masks, idx, valid, rng):
-        x, m = _gather_prep(dev_images, dev_masks, idx)
-        return step(params, stats, opt, x, m, valid, rng)
-
+    chunk_step, single_step = _epoch_programs(model, tx, loss_fn, seg_size,
+                                              mesh, dp)
     rng = np.random.default_rng(seed)
     dropout_key = jax.random.PRNGKey(seed + 1)
     final_loss = 0.0
@@ -268,6 +289,8 @@ def train_segmentation_model(
     # the dataset lives on device for the whole run: batches are on-device
     # gathers, dispatches ship only index tables (see docstring)
     if dp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from weaklysuperviseddl_tpu.parallel.mesh import batch_sharding
 
         D = data_axis

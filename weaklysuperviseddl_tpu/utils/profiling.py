@@ -51,6 +51,11 @@ class Stopwatch:
         self.times = defaultdict(float)
         self.counts = defaultdict(int)
         self.images = defaultdict(int)
+        # per-call (seconds, images) history: phases that jit-compile on their
+        # first call need first-call vs marginal rates reported separately —
+        # at reference scale the first seg-training alternation is dominated
+        # by XLA compiles while later ones run at the in-jit step rate
+        self.calls = defaultdict(list)
 
     @contextlib.contextmanager
     def phase(self, name: str, images: int = 0):
@@ -58,19 +63,37 @@ class Stopwatch:
         try:
             yield
         finally:
-            self.times[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.times[name] += dt
             self.counts[name] += 1
             self.images[name] += images
+            self.calls[name].append((dt, images))
 
     def report(self, log=print):
         for name in self.times:
             line = f"[profile] {name}: {self.times[name]:.3f}s over {self.counts[name]} calls"
             if self.images[name]:
                 line += f" = {self.images[name] / self.times[name]:.1f} img/s"
+                m = self.marginal_rate(name)
+                if m is not None:
+                    line += f" (marginal {m:.1f} img/s after first call)"
             log(line)
 
     def rate(self, name: str) -> float:
         return self.images[name] / self.times[name] if self.times[name] else 0.0
+
+    def marginal_rate(self, name: str) -> float | None:
+        """img/s over calls 2..N — the steady rate once call 1 has paid the
+        jit compiles. None when the phase ran fewer than 2 calls."""
+        tail = self.calls[name][1:]
+        secs = sum(t for t, _ in tail)
+        imgs = sum(i for _, i in tail)
+        if not tail or secs <= 0 or imgs <= 0:
+            return None
+        return imgs / secs
+
+    def first_call_s(self, name: str) -> float | None:
+        return self.calls[name][0][0] if self.calls[name] else None
 
 
 @contextlib.contextmanager
