@@ -110,7 +110,12 @@ def main():
     d = cfg.data
     sw = Stopwatch()
     t_start = time.perf_counter()
-    print(f"device: {jax.devices()[0]}", flush=True)
+    # first device contact on the axon relay can stall for minutes (tunnel
+    # handshake); pay it in its own phase so the pipeline phases measure the
+    # pipeline, not the relay
+    with sw.phase("device_warmup"):
+        print(f"device: {jax.devices()[0]}", flush=True)
+        float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
 
     with sw.phase("data", images=args.images):
         train_ds, val_ds = load_split_data(
