@@ -126,6 +126,28 @@ def test_stopwatch_and_phase():
     assert any(s.startswith("[profile] x") for s in lines)
 
 
+def test_stopwatch_marginal_rate_excludes_first_call():
+    """first_call_s / marginal_rate separate the compile-laden first call from
+    the steady rate (reference-scale e2e reporting contract)."""
+    import time
+
+    from weaklysuperviseddl_tpu.utils.profiling import Stopwatch
+
+    sw = Stopwatch()
+    assert sw.marginal_rate("seg") is None and sw.first_call_s("seg") is None
+    with sw.phase("seg", images=4):
+        time.sleep(0.05)  # "compile"
+    assert sw.marginal_rate("seg") is None  # single call: no marginal yet
+    assert sw.first_call_s("seg") >= 0.05
+    with sw.phase("seg", images=4):
+        time.sleep(0.005)
+    with sw.phase("seg", images=4):
+        time.sleep(0.005)
+    m = sw.marginal_rate("seg")
+    assert m is not None and m > sw.rate("seg")  # first call dragged the mean
+    assert sw.first_call_s("seg") >= 0.05  # unchanged by later calls
+
+
 def test_foundation_real_sam_backend_from_config():
     """The REAL hf_segmenter (transformers SamProcessor -> SamModel forward ->
     pred_masks[:,0]) runs end-to-end through the pipeline with from-config

@@ -114,3 +114,29 @@ def test_pseudo_mask_generation_dispatch_invariance():
         ib, mb = b.get(k)
         np.testing.assert_array_equal(ma, mb)
         np.testing.assert_array_equal(ia, ib)
+
+
+def test_pseudo_mask_generation_with_crf():
+    """The use_crf branch of the scanned sweep (the reference's :530-558
+    script path) must compile: apply_dense_crf runs under trace there, so its
+    [0,1]->[0,255] auto-scale has to be traced-value-safe (regression: a
+    concrete float(images.max()) check broke the first TPU CRF-on run)."""
+    import jax
+    from weaklysuperviseddl_tpu.data import download_data
+    from weaklysuperviseddl_tpu.data.loader import batches
+    from weaklysuperviseddl_tpu.masks.pseudo import generate_pseudo_masks
+    from weaklysuperviseddl_tpu.pipelines.weakly import build_classifier
+
+    cfg = smoke_config()
+    ds = download_data(None, split="trainval", synthetic_size=5,
+                       image_size=cfg.data.image_size, seed=3,
+                       num_classes=cfg.data.num_classes)
+    model, variables = build_classifier(cfg, rng=jax.random.PRNGKey(4))
+    store = generate_pseudo_masks(
+        batches(ds, 4, pad_to_full=True), model, variables,
+        image_size=cfg.data.image_size, use_crf=True,
+        crf_kwargs=dict(n_iters=2))
+    assert len(store) == 5
+    for k in store.keys():
+        _, m = store.get(k)
+        assert set(np.unique(m)).issubset({0, 1, 255})

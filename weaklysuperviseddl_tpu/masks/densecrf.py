@@ -264,7 +264,8 @@ def apply_dense_crf(images, cams, n_iters: int = 5, **kwargs):
     probs = jnp.stack([1.0 - cams, cams], axis=-1)
     probs = jnp.clip(probs, 1e-8, 1.0)
     images = images.astype(jnp.float32)
-    if float(images.max()) <= 1.5:  # [0,1] tensors → [0,255] color space
-        images = images * 255.0
+    # [0,1] tensors → [0,255] color space; traced-value-safe (this helper runs
+    # inside the jit'd pseudo-mask sweep when use_crf is on, masks/pseudo.py)
+    images = jnp.where(jnp.max(images) <= 1.5, images * 255.0, images)
     Q = densecrf_inference(probs, images, n_iters=n_iters, **kwargs)
     return jnp.argmax(Q, axis=-1).astype(jnp.uint8)

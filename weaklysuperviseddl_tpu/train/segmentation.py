@@ -37,6 +37,9 @@ class SegTrainState:
     step: int = 0
 
 
+_TX_CACHE: dict = {}
+
+
 def create_seg_state(
     model, rng, input_size: int, lr: float = 1e-4, batch: int = 2,
     guard_nonfinite: bool = True, mesh=None,
@@ -58,11 +61,20 @@ def create_seg_state(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         jnp.zeros((batch, input_size, input_size, 3)),
     )
-    tx = optax.adam(lr)
-    if guard_nonfinite:
-        from weaklysuperviseddl_tpu.train.guard import apply_if_finite_fast
+    # one tx instance per (lr, guard) config: _epoch_programs memoizes on
+    # id(tx) (optax transforms define no value equality), so callers that
+    # build many states with the same optimizer config — the ablation grid's
+    # repeats, per-alternation restarts — must receive the SAME tx to reuse
+    # the compiled epoch programs instead of re-tracing per state
+    tx_key = (float(lr), bool(guard_nonfinite))
+    tx = _TX_CACHE.get(tx_key)
+    if tx is None:
+        tx = optax.adam(lr)
+        if guard_nonfinite:
+            from weaklysuperviseddl_tpu.train.guard import apply_if_finite_fast
 
-        tx = apply_if_finite_fast(tx)
+            tx = apply_if_finite_fast(tx)
+        _TX_CACHE[tx_key] = tx
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
