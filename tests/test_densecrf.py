@@ -87,6 +87,98 @@ def test_pallas_bilateral_matches_xla():
     assert rel.mean() < 5e-3, rel.mean()  # bf16 value matmul tolerance
 
 
+def test_exact_filter_fp64_parity_at_reference_magnitudes():
+    """Regression for the default-precision gemm explosion: at reference
+    bilateral magnitudes (color features up to 255/σ_rgb ≈ 51, ‖f‖² ≈ 1e3)
+    the exponent matmul must run at HIGHEST precision — XLA's default gemm
+    lowers to a reduced-precision kernel on both MXU and oneDNN/AMX hosts,
+    which perturbed the exponent by O(10) and blew up exp() (measured +15.4
+    error vs 2.4e-4 for a true fp32 gemm)."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import gaussian_filter_xla
+    rng = np.random.default_rng(0)
+    S = 32
+    img = rng.integers(0, 255, (S, S, 3)).astype(np.float64)
+    yy = np.arange(S)[:, None] / 50.0
+    xx = np.arange(S)[None, :] / 50.0
+    feats = np.stack(
+        [np.broadcast_to(xx, (S, S)), np.broadcast_to(yy, (S, S))]
+        + [img[..., c] / 5.0 for c in range(3)], -1,
+    ).reshape(-1, 5)
+    v = rng.uniform(0, 1, (S * S, 2))
+    d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    gold = np.exp(-0.5 * d2) @ v
+    got = np.asarray(gaussian_filter_xla(
+        jnp.asarray(feats, jnp.float32), jnp.asarray(v, jnp.float32)))
+    rel = np.abs(got - gold).max() / np.abs(gold).max()
+    assert rel < 1e-3, rel
+
+
+def test_rff_filter_accurate_only_at_narrow_feature_range():
+    """The RFF factorization is mathematically correct — accurate where the
+    feature range is a few σ — but a measured negative result at reference
+    CRF bandwidths (±51σ color range), where per-entry absolute MC noise
+    swamps O(1) kernel sums (see ops/pallas_bilateral.py). Both halves are
+    asserted so the documented regime boundary stays true."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
+        rff_basis, gaussian_filter_rff)
+    rng = np.random.default_rng(3)
+    N = 600
+
+    def golden_and_est(scale, dim):
+        feats = rng.uniform(0, scale, (N, 5))
+        v = rng.uniform(0, 1, (N, 2))
+        d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+        gold = np.exp(-0.5 * d2) @ v
+        phi = rff_basis(jnp.asarray(feats, jnp.float32), dim=dim)
+        est = np.asarray(gaussian_filter_rff(phi, jnp.asarray(v, jnp.float32)))
+        return np.abs(est - gold).max() / np.abs(gold).max()
+
+    assert golden_and_est(scale=2.0, dim=4096) < 0.1      # the working regime
+    assert golden_and_est(scale=51.0, dim=4096) > 0.3     # the reference regime
+
+
+@pytest.mark.skipif(
+    jnp.zeros(()).devices().pop().platform != "tpu",
+    reason="regression is only reachable on real Mosaic lowering; interpret "
+           "mode and CPU XLA run true-fp32 gemms and cannot reproduce it",
+)
+def test_pallas_exact_on_device_at_reference_magnitudes():
+    """On-device regression for the Mosaic bf16-truncation bug: rounds 1-2
+    shipped the exponent as a default-precision MXU dot, which truncates fp32
+    inputs to bf16 — O(30) absolute exponent error at reference bilateral
+    magnitudes, exp() → ~1e13 garbage — while every CPU test (interpret mode,
+    true-fp32 XLA gemms) stayed green. The exponent is now accumulated on the
+    VPU in true fp32; this test pins the kernel to an fp64 golden on the real
+    device."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import gaussian_filter_pallas
+    rng = np.random.default_rng(0)
+    S = 48
+    img = rng.integers(0, 255, (S, S, 3)).astype(np.float64)
+    yy = np.arange(S)[:, None] / 50.0
+    xx = np.arange(S)[None, :] / 50.0
+    feats = np.stack(
+        [np.broadcast_to(xx, (S, S)), np.broadcast_to(yy, (S, S))]
+        + [img[..., c] / 5.0 for c in range(3)], -1,
+    ).reshape(-1, 5)
+    v = rng.uniform(0, 1, (S * S, 2))
+    d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    gold = np.exp(-0.5 * d2) @ v
+    got = np.asarray(gaussian_filter_pallas(
+        jnp.asarray(feats, jnp.float32), jnp.asarray(v, jnp.float32)))
+    rel = np.abs(got - gold).max() / np.abs(gold).max()
+    assert rel < 5e-3, rel  # bf16 value-matmul floor; the bug gave ~1e13
+
+
+def test_rff_backend_runs_end_to_end():
+    """API contract: the opt-in backend jits and returns valid marginals."""
+    img, _, probs, _ = make_case(2, H=16, W=16)
+    q = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="rff", rff_dim=512, **PARAMS))[0]
+    assert q.shape == probs.shape
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-5)
+
+
 def test_jax_lattice_matches_brute_force():
     """Opt-in O(N)-scaling backend: the sort-based permutohedral lattice."""
     img, _, probs, unary = make_case(1)

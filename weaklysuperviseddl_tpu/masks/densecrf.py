@@ -12,12 +12,22 @@ so each path's filter may carry an arbitrary constant scale), Potts update
 Q ← softmax(−U + Σ_k w_k·m_k). The filters differ only in approximation:
 
   * Gaussian (small σ_xy): exact truncated separable convolution.
-  * Bilateral (σ_xy≈50, σ_rgb≈5), three device backends:
-      - "attention" (default): EXACT O(N²) kernel attention on the MXU
+  * Bilateral (σ_xy≈50, σ_rgb≈5), four device backends:
+      - "attention" (default): EXACT O(N²) kernel attention
         (ops/pallas_bilateral.py) — the bilateral filter *is* unnormalized
         flash attention with queries = keys = the bilateral features. No
-        approximation: it computes the brute-force golden itself. Measured
-        fastest by a wide margin on TPU (BASELINE.md).
+        approximation: it computes the brute-force golden itself (round 3
+        found and fixed an MXU bf16-truncation bug that had silently broken
+        this on real hardware — see the kernel module). ~58 ms/img at 224²
+        reference params ≈ the VPU floor for 6 exact passes (BASELINE.md).
+      - "rff": random-Fourier-feature factorization K ≈ ΦΦᵀ
+        (ops/pallas_bilateral.rff_basis) — each filter call is two skinny
+        matmuls, O(N·D) instead of O(N²). MEASURED NEGATIVE RESULT at
+        reference bandwidths (σ_rgb=5 → ±51σ color range): the Monte-Carlo
+        noise is absolute per kernel entry while true entries/norms are
+        O(1), so norm estimates go negative and the filter is ~90% wrong
+        at D=4096 (see ops/pallas_bilateral.py). Kept opt-in as the record
+        of why the obvious factorization shortcut fails here.
       - "lattice": sort-based permutohedral lattice (masks/permutohedral.py)
         — the same Adams et al. construction as the C++ host path, hash table
         replaced by a sort + binary-search join. Matches the host lattice to
@@ -44,7 +54,11 @@ from weaklysuperviseddl_tpu.masks.permutohedral import (
     permutohedral_filter,
     _COORD_MAX,
 )
-from weaklysuperviseddl_tpu.ops.pallas_bilateral import gaussian_filter
+from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
+    gaussian_filter,
+    gaussian_filter_rff,
+    rff_basis,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +181,7 @@ def _sym_message(filter_fn, Q, inv_sqrt):
     jax.jit,
     static_argnames=(
         "gauss_sxy", "gauss_compat", "bilat_sxy", "bilat_srgb", "bilat_compat",
-        "n_iters", "bilat_backend",
+        "n_iters", "bilat_backend", "rff_dim",
     ),
 )
 def densecrf_inference(
@@ -180,10 +194,11 @@ def densecrf_inference(
     bilat_compat: float = 10.0,
     n_iters: int = 5,
     bilat_backend: str = "attention",
+    rff_dim: int = 4096,
 ):
     """Mean-field marginals [B,H,W,L]."""
     images = images.astype(jnp.float32)
-    if bilat_backend not in ("attention", "lattice", "grid"):
+    if bilat_backend not in ("attention", "lattice", "grid", "rff"):
         raise ValueError(f"unknown bilat_backend {bilat_backend!r}")
     H, W = probs.shape[1:3]
     if bilat_backend == "attention" and jax.default_backend() != "tpu" and H * W > 64 * 64:
@@ -227,6 +242,8 @@ def densecrf_inference(
                 ).reshape(-1, 5)
                 if bilat_backend == "lattice":
                     pre = permutohedral_precompute(feats)
+                elif bilat_backend == "rff":
+                    pre = rff_basis(feats, dim=rff_dim)
 
         def bilat(v):
             C = v.shape[-1]
@@ -234,6 +251,8 @@ def densecrf_inference(
                 return _bilateral_grid_filter(v, pre)
             if bilat_backend == "lattice":
                 return permutohedral_filter(v.reshape(-1, C), pre).reshape(v.shape)
+            if bilat_backend == "rff":
+                return gaussian_filter_rff(pre, v.reshape(-1, C)).reshape(v.shape)
             return gaussian_filter(feats, v.reshape(-1, C)).reshape(v.shape)
 
         # kernel norms are iteration-invariant: filtering ones 2× here instead

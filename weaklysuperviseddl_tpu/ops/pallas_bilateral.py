@@ -15,13 +15,27 @@ this hardware (see masks/permutohedral.py and BASELINE.md). So the exact
 flash-style kernel is the production TPU path; it is also bit-faithful to the
 O(N²) brute-force golden rather than an approximation of it.
 
-Shape of the kernel: exponent(i,j) = q_i·k_j - ½‖f_i‖² - ½‖f_j‖² ≤ 0, done as
-one augmented matmul (aug_q = [f, -½‖f‖², 1], aug_k = [f, 1, -½‖f‖²]); since
+Shape of the kernel: exponent(i,j) = q_i·k_j - ½‖f_i‖² - ½‖f_j‖² ≤ 0 over
+augmented features (aug_q = [f, -½‖f‖², 1], aug_k = [f, 1, -½‖f‖²]); since
 the exponent is ≤ 0 no running-max is needed (unlike softmax attention) and
 accumulation over key blocks is a plain sum. exp ≤ 1 and values are
-probability-scaled, so the second (dominant) matmul runs in bf16 with fp32
-accumulation; the exponent matmul stays fp32 (it carries ‖f‖² ≈ 1e3 terms
-where bf16's 8-bit mantissa would corrupt the kernel).
+probability-scaled, so the value matmul runs in bf16 on the MXU with fp32
+accumulation. The exponent is NOT an MXU matmul: it is accumulated on the
+VPU as d+2 broadcast FMAs in true fp32, because Mosaic's default fp32 dot
+truncates inputs to bf16 — which puts O(30) absolute error into an exponent
+carrying ‖f‖² ≈ 7e3 terms and turns exp() into ~1e13 garbage (shipped that
+way in rounds 1-2; invisible to CPU tests, which run interpret mode / true
+fp32 XLA gemms). See _make_kernel for the measured alternatives.
+
+With correct fp32 exponents the kernel is VPU-bound (7 FMAs + exp per kernel
+entry ≈ 14 VPU ops × N² ≈ 3.6e10 ops/call at N=224² → ~9 ms/call ≈ the VPU
+floor), not MXU-bound: the full 5-iteration CRF measures ~60 ms/img, and the
+round-3 "44 ms/img" figure predates the fix (it timed the numerically broken
+kernel). Levers measured and kept: padding mask folded into the augmentation
+(padded keys carry sq = -1e30 so exp underflows to exactly 0), zero pad dims
+skipped in the FMA loop. Levers measured and rejected: precision=HIGHEST MXU
+exponent (3× slower — bf16x6 on a K=8-padded-to-128 matmul), bf16 exp (same
+accuracy, no wall-clock win), larger key blocks (VMEM pressure).
 """
 
 from __future__ import annotations
@@ -34,11 +48,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DA = 8         # augmented feature dim, padded to the fp32 sublane minimum
-# Block shapes swept on v5e at N=224² (round 3): 256×512 = 9.1 ms/call,
-# 512×1024 = 7.0, 512×2048 = 6.7 (best; 1024×1024 ties), 512×4096 regresses
-# (VMEM pressure breaks double buffering). The win is per-program overhead
-# amortization — exp is only ~2.5 ms of the call, so a bf16 exp variant
-# bought nothing (measured 0% at 6.8e-2 relative error; rejected).
+# Block shapes swept on v5e at N=224² (round 3, pre-precision-fix numbers;
+# relative ordering unchanged): 256×512 = 9.1 ms/call, 512×1024 = 7.0,
+# 512×2048 best (1024×1024 ties), 512×4096 regresses (VMEM pressure breaks
+# double buffering).
 _BQ = 512       # query rows per program
 _BK = 2048      # key rows per program
 _CP = 128       # value channels padded to one MXU lane tile
@@ -57,44 +70,69 @@ def _augment(feats):
     return aug_q, aug_k
 
 
-def _kernel(nk_ref, q_ref, kt_ref, v_ref, o_ref):
-    j = pl.program_id(1)
+def _make_kernel(dims):
+    """Kernel over the `dims` active augmented columns (static)."""
 
-    @pl.when(j == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+    def _kernel(q_ref, kt_ref, v_ref, o_ref):
+        j = pl.program_id(1)
 
-    # exponent block [BQ, BK], fp32 on the MXU
-    expo = jnp.dot(q_ref[:], kt_ref[:], preferred_element_type=jnp.float32)
-    # mask padded key rows (their exponent column must contribute exactly 0)
-    col = j * _BK + jax.lax.broadcasted_iota(jnp.int32, expo.shape, 1)
-    e = jnp.where(col < nk_ref[0], jnp.exp(expo), 0.0)
-    # value matmul in bf16 (exp ≤ 1, values probability-scaled), fp32 acc
-    o_ref[:] += jnp.dot(
-        e.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        # exponent block [BQ, BK], accumulated on the VPU as broadcast FMAs.
+        # NOT an MXU dot: Mosaic's default fp32 matmul truncates inputs to
+        # bf16, and the augmented features carry ‖f‖² ≈ 7e3 terms whose bf16
+        # rounding puts O(30) absolute error in an exponent that should be
+        # ≤ 0 — exp() of that is ~1e13 garbage (measured on v5e; round-1/2
+        # shipped that bug and no CPU test could see it — interpret mode is
+        # exact fp32). precision=HIGHEST fixes it but costs 3× (bf16x6 passes
+        # on a K=8 matmul padded to K=128); the VPU form is exact fp32 AND 3×
+        # faster than even the wrong default (38.6 vs 119.8 ms/call at
+        # N=224² incl. dispatch) — it overlaps with the value matmul instead
+        # of serializing the MXU. Padded key rows carry sq = -1e30 in the
+        # augmentation, so exp() underflows to exactly 0 with no mask here.
+        expo = q_ref[:, dims[0]][:, None] * kt_ref[dims[0], :][None, :]
+        for d in dims[1:]:
+            expo += q_ref[:, d][:, None] * kt_ref[d, :][None, :]
+        # (a bf16 exp measured identical end-to-end error — the bf16 value
+        # matmul dominates — but no wall-clock win, so exp stays fp32)
+        e = jnp.exp(expo)
+        # value matmul in bf16 (exp ≤ 1, values probability-scaled), fp32 acc
+        o_ref[:] += jnp.dot(
+            e.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gaussian_filter_pallas(feats, values, interpret: bool = False):
     """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C]."""
     N, C = values.shape
+    d = feats.shape[1]
     if C > _CP:
         raise ValueError(f"C={C} > {_CP}")
     npad_q = (-N) % _BQ
     npad_k = (-N) % _BK
     aug_q, aug_k = _augment(feats.astype(jnp.float32))
     aug_q = jnp.pad(aug_q, ((0, npad_q), (0, 0)))
-    kt = jnp.pad(aug_k, ((0, npad_k), (0, 0))).T          # [_DA, Nk]
+    # padded key rows get sq = -1e30 (last column): the exponent they induce
+    # is -1e30·1 and exp() underflows to exactly 0, so the kernel needs no
+    # column mask — the padding contributes nothing to the accumulation.
+    kpad = jnp.zeros((npad_k, _DA), jnp.float32).at[:, _DA - 1].set(-1e30)
+    kt = jnp.concatenate([aug_k, kpad], axis=0).T          # [_DA, Nk]
     v = jnp.pad(values.astype(jnp.float32), ((0, npad_k), (0, _CP - C)))
     nq, nk = (N + npad_q) // _BQ, (N + npad_k) // _BK
 
+    # active augmented columns: d features + [ones, sq] — the zero pad
+    # columns between them carry nothing, skip their FMAs
+    dims = tuple(range(d)) + (_DA - 2, _DA - 1)
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(dims),
         grid=(nq, nk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_BQ, _DA), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_DA, _BK), lambda i, j: (0, j),
@@ -106,16 +144,84 @@ def gaussian_filter_pallas(feats, values, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + npad_q, _CP), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray([N], jnp.int32), aug_q, kt, v)
+    )(aug_q, kt, v)
     return out[:N, :C]
 
 
 @jax.jit
 def gaussian_filter_xla(feats, values):
-    """Reference/fallback path (identical math, fp32 throughout)."""
+    """Reference/fallback path (identical math, fp32 throughout).
+
+    The exponent matmul must run at HIGHEST precision: it carries ‖f‖² ≈ 1e3
+    terms whose bf16-scale rounding (XLA's default-precision gemm lowers to a
+    reduced-precision kernel on both TPU MXU and oneDNN/AMX CPU backends)
+    perturbs the exponent by O(10) — and exp() of that is garbage. Measured
+    on this host: default precision gave exponent error +15.4 where a true
+    fp32 gemm gives 2.4e-4.
+    """
     aug_q, aug_k = _augment(feats.astype(jnp.float32))
-    kernel = jnp.exp(aug_q @ aug_k.T)
-    return kernel @ values.astype(jnp.float32)
+    kernel = jnp.exp(
+        jnp.dot(aug_q, aug_k.T, precision=jax.lax.Precision.HIGHEST)
+    )
+    return jnp.dot(
+        kernel, values.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-Fourier-feature factorization: K ≈ Φ Φᵀ, filter in O(N·D)
+# ---------------------------------------------------------------------------
+#
+# Bochner's theorem for the Gaussian kernel: exp(-½‖x-y‖²) =
+# E_{w~N(0,I), b~U[0,2π)}[2·cos(w·x+b)·cos(w·y+b)], so with
+# Φ = √(2/D)·cos(F·W + b)  (F = [N,d] features, W = [d,D] fixed draws)
+# the filter K·v ≈ Φ·(Φᵀ·v): two skinny matmuls instead of the N×N kernel.
+#
+# MEASURED NEGATIVE RESULT at reference CRF parameters — kept opt-in, not
+# wired as a production path. The estimate is unbiased with ~√(2/D) stderr
+# per kernel ENTRY in absolute terms, but the reference bilateral kernel
+# (σ_rgb=5 over a 0-255 color range → features spanning ±51σ) is so narrow
+# that most true entries — and many per-pixel norms K·1 — are O(1) while the
+# filter sums N of those noisy entries: measured against an fp64 golden at
+# N=48² the factorized filter's max relative error is 0.93 at D=4096 and
+# 0.69 at D=8192, with per-pixel norm estimates going NEGATIVE (true min
+# 1.0, estimated min −1.7 at D=4096) — which the symmetric normalization
+# 1/√n turns into garbage. Closing the gap needs D ≈ N, at which point the
+# two skinny matmuls cost what the exact kernel does. The exact attention
+# path at ~58 ms/img (BASELINE.md) therefore stays the production backend;
+# this factorization is retained as the measured record of why the obvious
+# O(N·D) shortcut does not work at these bandwidths.
+
+_RFF_SEED = 7
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def rff_basis(feats, dim: int = 4096):
+    """Fourier features Φ [N, dim] (bf16) for σ-scaled bilateral feats [N,d]."""
+    d = feats.shape[1]
+    kw, kb = jax.random.split(jax.random.PRNGKey(_RFF_SEED))
+    W = jax.random.normal(kw, (d, dim), jnp.float32)
+    b = jax.random.uniform(kb, (dim,), jnp.float32, 0.0, 2.0 * jnp.pi)
+    # HIGHEST precision: feats carry entries up to ~255/σ_rgb ≈ 51, so a
+    # reduced-precision gemm puts O(0.1 rad) phase error inside the cos
+    proj = (
+        jnp.dot(feats.astype(jnp.float32), W, precision=jax.lax.Precision.HIGHEST)
+        + b
+    )
+    # cos ∈ [-1,1] and the √(2/D) scale are well inside bf16 range; the
+    # matmuls accumulate in fp32 (preferred_element_type below)
+    return (jnp.cos(proj) * jnp.sqrt(2.0 / dim)).astype(jnp.bfloat16)
+
+
+@jax.jit
+def gaussian_filter_rff(phi, values):
+    """Factorized Gaussian filter: Φ·(Φᵀ·v). phi [N,D] bf16, values [N,C]."""
+    coeff = jnp.dot(
+        phi.T, values.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    return jnp.dot(
+        phi, coeff.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
 
 
 def gaussian_filter(feats, values):
