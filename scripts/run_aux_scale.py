@@ -1,0 +1,198 @@
+"""Reference-scale runs of the three auxiliary pipelines on the real TPU:
+the ablation grid, the fully-supervised baseline, and the BASNet saliency
+inference engine — with per-phase wall-clock profiling.
+
+Reference protocols:
+  * Abalations.py:86-96 — LayerCAM × thresholds {0.3,0.5,0.7} × lrs
+    {1e-2..1e-5} × keep_largest, 3 repeats each (36 training runs), per-combo
+    mean±std IoU/acc/loss.
+  * FullySupervisedModel/SupervisedModel.py:85-123 — DeepLabV3 on true
+    binarized masks, per-epoch val, 3 test runs → mean±std.
+  * PretrainedBasnetModel/RunInference.py — saliency maps + IoU/acc on 10
+    test images (weights-gated here: random init unless basnet.pth exists),
+    plus a batched-throughput measurement of the jit'd saliency step that the
+    reference's per-image loop has no analogue for.
+
+Runs on synthetic Pet in zero-egress environments (real Pet plugs in via
+--pet-root). Records E2E_AUX_PIPELINES.json for BASELINE.md.
+
+Usage:
+  python scripts/run_aux_scale.py [--images 160] [--repeats 3]
+      [--out E2E_AUX_PIPELINES.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=160,
+                    help="synthetic dataset size for ablations + supervised")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="repeats per ablation combo (ref: 3)")
+    ap.add_argument("--ablation-epochs", type=int, default=5,
+                    help="seg epochs per ablation run (ref Abalations.py:23)")
+    ap.add_argument("--supervised-epochs", type=int, default=10)
+    ap.add_argument("--classifier-epochs", type=int, default=15)
+    ap.add_argument("--basnet-weights", default="./Weights/basnet.pth")
+    ap.add_argument("--grid-limit", type=int, default=0,
+                    help="truncate the ablation grid (0 = full; smoke only)")
+    ap.add_argument("--pet-root", default=None)
+    ap.add_argument("--out", default=os.path.join(REPO, "E2E_AUX_PIPELINES.json"))
+    args = ap.parse_args()
+
+    from weaklysuperviseddl_tpu.utils.profiling import Stopwatch, enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from weaklysuperviseddl_tpu.config import (
+        ClassifierConfig, DataConfig, ExperimentConfig, SegConfig)
+    from weaklysuperviseddl_tpu.data import download_data, load_split_data
+    from weaklysuperviseddl_tpu.data.loader import batches
+    from weaklysuperviseddl_tpu.pipelines.ablations import (
+        default_grid, run_ablation_experiment)
+    from weaklysuperviseddl_tpu.pipelines.basnet_infer import (
+        build_basnet, run_inference, saliency_step)
+    from weaklysuperviseddl_tpu.pipelines.supervised import run_supervised_training
+    from weaklysuperviseddl_tpu.pipelines.weakly import build_classifier
+    from weaklysuperviseddl_tpu.train.classifier import train_fc_only
+
+    sw = Stopwatch()
+    t_start = time.perf_counter()
+    record: dict = {"protocol": {
+        "images": args.images, "repeats": args.repeats,
+        "ablation_epochs": args.ablation_epochs,
+        "supervised_epochs": args.supervised_epochs,
+        "classifier_epochs": args.classifier_epochs,
+    }}
+
+    with sw.phase("device_warmup"):
+        dev = jax.devices()[0]
+        print(f"device: {dev}", flush=True)
+        float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+    record["protocol"]["device"] = f"{dev.platform} {dev.device_kind}"
+
+    cfg = ExperimentConfig(
+        data=DataConfig(root=args.pet_root, synthetic_size=args.images,
+                        batch_size=32),
+        classifier=ClassifierConfig(epochs=args.classifier_epochs,
+                                    dtype="bfloat16"),
+        seg=SegConfig(epochs=args.ablation_epochs, batch_size=16,
+                      dtype="bfloat16"),
+    )
+    d = cfg.data
+
+    # ---- ablation grid (needs a trained classifier for meaningful CAMs) ----
+    with sw.phase("classifier_fc_training", images=args.images):
+        train_ds, val_ds = load_split_data(
+            d.root, train_ratio=d.train_ratio, seed=d.seed,
+            synthetic_size=d.synthetic_size, image_size=d.image_size,
+            num_classes=d.num_classes)
+        model, variables = build_classifier(cfg)
+        variables = train_fc_only(
+            model, variables,
+            train_loader_fn=lambda: batches(train_ds, d.batch_size,
+                                            shuffle=True, seed=d.seed,
+                                            pad_to_full=True),
+            val_loader_fn=lambda: batches(val_ds, d.eval_batch_size),
+            epochs=cfg.classifier.epochs, lr=cfg.classifier.lr,
+            num_classes=d.num_classes, image_size=d.image_size,
+            interpolation=d.interpolation, cache_features=True,
+            log=lambda *a: None)
+
+    grid = default_grid()
+    if args.grid_limit:
+        grid = grid[:args.grid_limit]
+    n_train = int(args.images * d.train_ratio)
+    abl_images = len(grid) * args.repeats * n_train * (args.ablation_epochs + 1)
+    with sw.phase("ablation_grid", images=abl_images):
+        results = run_ablation_experiment(
+            grid, model, variables, cfg, num_repeats=args.repeats,
+            log=lambda *a: None)
+    summaries = [r for r in results if "combo_id" in r]
+    for s in summaries:
+        print(f"combo thresh={s['cam_thresh']} lr={s['learning_rate']:.0e}: "
+              f"IoU {s['iou_mean']:.4f}±{s['iou_std']:.4f} "
+              f"acc {s['acc_mean']:.4f}±{s['acc_std']:.4f}", flush=True)
+    best = max(summaries, key=lambda s: s["iou_mean"])
+    record["ablations"] = {
+        "grid_points": len(grid), "training_runs": len(grid) * args.repeats,
+        "summaries": summaries,
+        "best": {"cam_thresh": best["cam_thresh"],
+                 "learning_rate": best["learning_rate"],
+                 "iou_mean": best["iou_mean"], "iou_std": best["iou_std"]},
+    }
+
+    # ---- fully-supervised baseline -----------------------------------------
+    sup_images = args.images * (args.supervised_epochs + 1)
+    with sw.phase("supervised_baseline", images=sup_images):
+        _, sup_metrics = run_supervised_training(
+            cfg, num_epochs=args.supervised_epochs, test_runs=3,
+            log=lambda *a: None)
+    print(f"supervised: IoU {sup_metrics['iou_mean']:.4f}"
+          f"±{sup_metrics['iou_std']:.4f}", flush=True)
+    record["supervised"] = sup_metrics
+    record["supervised"]["note"] = (
+        "upper-bound baseline trained on true binarized trimaps "
+        "(ref SupervisedModel.py:85-123); weakly-supervised runs are "
+        "compared against this")
+
+    # ---- BASNet inference engine --------------------------------------------
+    test_ds = download_data(d.root, split="test", synthetic_size=64,
+                            image_size=256, seed=d.seed,
+                            num_classes=d.num_classes)
+    with sw.phase("basnet_protocol", images=10):
+        bmodel, bvars = build_basnet(weights_path=args.basnet_weights)
+        _, mean_iou, mean_acc = run_inference(
+            test_ds, model=bmodel, variables=bvars,
+            weights_path=args.basnet_weights, num_images=10,
+            output_folder=os.path.join(REPO, "basnet_outputs"),
+            log=lambda *a: None)
+    weights_found = os.path.exists(args.basnet_weights)
+    # batched throughput of the jit'd saliency step (B=16, 256², incl. the
+    # uint8 upload + device->host readback the serving path pays)
+    batch = jnp.asarray(np.stack([test_ds.images[i % len(test_ds)]
+                                  for i in range(16)]))
+    _ = np.asarray(saliency_step(bmodel, bvars, batch))  # compile
+    reps = 20
+    with sw.phase("basnet_throughput", images=16 * reps):
+        for _ in range(reps):
+            out = np.asarray(saliency_step(bmodel, bvars, batch))
+    bas_rate = sw.rate("basnet_throughput")
+    print(f"basnet saliency: {bas_rate:.1f} img/s batched "
+          f"(weights={'real' if weights_found else 'random-init'})", flush=True)
+    record["basnet"] = {
+        "mean_iou": mean_iou, "mean_acc": mean_acc,
+        "weights": "real" if weights_found else "random-init (quality gated: "
+                   "basnet.pth absent in zero-egress environment)",
+        "batched_img_per_s": round(bas_rate, 2),
+    }
+
+    record["wall_clock_s"] = round(time.perf_counter() - t_start, 2)
+    record["phases"] = {
+        name: {
+            "seconds": round(sw.times[name], 3),
+            "calls": sw.counts[name],
+            "img_per_s": round(sw.rate(name), 2),
+        } for name in sw.times
+    }
+    sw.report()
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {args.out} (wall {record['wall_clock_s']}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
