@@ -152,3 +152,33 @@ def test_atrous_tap_conv_bf16_single_rounding():
     # is meaningless where random sums cancel to ~0
     rel = np.abs(got - ref).max() / np.abs(ref).mean()
     assert rel < 5e-2, rel  # bf16 input rounding + one output rounding
+
+
+def test_stem_plans_match_direct_conv():
+    """All _Stem7x7 execution plans (s2d block fold, pack8 single-matmul
+    phase packing) compute the identical 7x7/2 conv from the SAME standard
+    [7,7,C,F] parameter — outputs and weight gradients agree with the plain
+    strided conv, including non-square inputs."""
+    from weaklysuperviseddl_tpu.models.resnet import _Stem7x7
+
+    rng = np.random.default_rng(11)
+    for H, W in ((16, 16), (24, 32)):
+        x = jnp.asarray(rng.standard_normal((2, H, W, 3), dtype=np.float32))
+        ref = _Stem7x7(8, plan="direct")
+        variables = ref.init(jax.random.PRNGKey(0), x)
+        y_ref = ref.apply(variables, x)
+        for plan in ("s2d", "pack8"):
+            y = _Stem7x7(8, plan=plan).apply(variables, x)
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5,
+                err_msg=f"{plan} {H}x{W}")
+
+        def wgrad(plan):
+            return jax.grad(lambda v: jnp.sum(jnp.sin(
+                _Stem7x7(8, plan=plan).apply(v, x))))(variables)["params"]["kernel"]
+
+        g_ref = wgrad("direct")
+        for plan in ("s2d", "pack8"):
+            np.testing.assert_allclose(
+                np.asarray(wgrad(plan)), np.asarray(g_ref),
+                rtol=1e-4, atol=1e-4, err_msg=f"{plan} grad {H}x{W}")

@@ -137,7 +137,8 @@ class DeepLabV3(nn.Module):
     # than the saved activation traffic. Kept available for memory-limited
     # configurations (larger batches/resolutions).
     remat: bool = False
-    stem_s2d: bool = True
+    # stem execution plan: "direct" | "s2d" | "pack8" (models/resnet._Stem7x7)
+    stem_plan: str = "s2d"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,7 +150,7 @@ class DeepLabV3(nn.Module):
             replace_stride_with_dilation=(False, True, True),  # output stride 8
             dtype=dt,
             remat=self.remat,
-            stem_s2d=self.stem_s2d,
+            stem_plan=self.stem_plan,
             name="backbone",
         )(x, train=train)
 

@@ -44,19 +44,90 @@ def _conv(features, kernel, stride=1, dilation=1, dtype=jnp.float32, name=None):
     )
 
 
+def _stem_pack8(x, kernel, features, dtype):
+    """The 7×7/2 stem conv as ONE dense matmul in 8×8 space-to-depth space.
+
+    The stride-2 7-tap conv on C_in=3 is the most layout-hostile op in the
+    backbone: XLA pads the 3 (or s2d's 12) input channels to 128 lanes, so the
+    conv runs at ~3 TF/s (measured 1.6 ms fwd at batch 16, 256² — for 4.9 GF
+    of real work). Packing fixes the lane fill exactly:
+
+      * zero-pad the input by 3 (the conv's own padding) to top/left and 5 to
+        bottom/right, then space-to-depth by 8×8 → [B, H/8+1, W/8+1, 64C]
+      * every output pixel (i = 4·bi + pi, pi∈0..3) reads padded rows
+        2i..2i+6 ⊆ [8bi, 8bi+13) — i.e. a 2×2 neighborhood of 8-blocks —
+        so gathering the 4 neighbor block-vectors gives a dense contraction
+        axis of 4·64·C = 768 for C=3 (exactly 6 full 128-lane tiles)
+      * all 16 output phases (pi, pj) of a block come from the SAME 768
+        inputs, so the whole stem is einsum([B,H/8,W/8,768] @ [768, 16F]):
+        M=B·HW/64, K=768, N=1024 — fully dense on the MXU
+      * the phase-weight matrix scatters the 7×7 kernel at offset (2pi, 2pj)
+        inside the 16×16 window; it is built IN-GRAPH from the standard
+        [7,7,C,F] parameter (16 static slice-sets), so autodiff provides the
+        weight gradient through the transform for free, and the image's input
+        gradient (never needed — the stem is the first layer) is DCE'd.
+
+    MEASURED NEGATIVE RESULT (kept opt-in; see BASELINE.md round 3): in the
+    full train step pack8 is ~1.1 ms SLOWER than s2d (28.1 vs 26.9 ms at
+    batch 16 bf16 256²) — the 26 MB X2 materialization + phase transposes
+    cost more than the MXU-density win, and the isolated stem conv measures
+    only ~0.5 ms fwd under 2025-era XLA layouts (the round-2 1.6 ms stem
+    attribution was a prefix-delta in a contended run, not the conv alone).
+    The plan stays available and parity-tested (tests/test_models.py) as the
+    packing recipe for any future sub-128-channel geometry."""
+    B, H, W, C = x.shape
+    F = features
+    # padded input: rows -3..H+4 (conv pad 3 + 2 alignment rows never read by
+    # valid outputs but required so block bi+1 exists for bi = H/8-1)
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    Hb, Wb = H // 8 + 1, W // 8 + 1
+    xb = (
+        xp.reshape(B, Hb, 8, Wb, 8, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hb, Wb, 64 * C)
+    )
+    x2 = jnp.concatenate(
+        [xb[:, :-1, :-1], xb[:, :-1, 1:], xb[:, 1:, :-1], xb[:, 1:, 1:]], axis=-1
+    )  # [B, H/8, W/8, 4·64·C], neighbor order (du, dv) major
+
+    # phase weights: W16[u, v, c, pi, pj, f] = K[u-2pi, v-2pj, c, f]
+    w16 = jnp.zeros((16, 16, C, 4, 4, F), kernel.dtype)
+    for pi in range(4):
+        for pj in range(4):
+            w16 = w16.at[2 * pi : 2 * pi + 7, 2 * pj : 2 * pj + 7, :, pi, pj, :].set(kernel)
+    # flatten to X2's channel order: ((du·2+dv)·64 + ru·8+rv)·C + c
+    wbig = (
+        w16.reshape(2, 8, 2, 8, C, 4, 4, F)
+        .transpose(0, 2, 1, 3, 4, 5, 6, 7)
+        .reshape(4 * 64 * C, 16 * F)
+    )
+    y = jnp.einsum(
+        "bijk,kp->bijp", x2.astype(dtype), wbig.astype(dtype),
+        preferred_element_type=dtype,
+    )
+    return (
+        y.reshape(B, H // 8, W // 8, 4, 4, F)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, F)
+    )
+
+
 class _Stem7x7(nn.Module):
-    """The ResNet 7×7/2 stem conv, with an optional space-to-depth execution
-    plan. The parameter is ALWAYS the standard ``kernel [7,7,3,64]`` (same
-    name/shape as nn.Conv, so torch ingestion and state dicts are untouched);
-    when ``s2d`` is on, the input is rearranged to 2×2 blocks
-    ([B,H/2,W/2,4C]) and the kernel is left-padded to 8×8 and folded to
-    [4,4,4C,F] — mathematically the same conv, but stride-1 on 4× the
-    channels, which suits the MXU better than stride-2 on 3 channels
-    (measured 1.94 → 1.64 ms fwd at batch 16, 256²; see BASELINE.md)."""
+    """The ResNet 7×7/2 stem conv with selectable execution plans. The
+    parameter is ALWAYS the standard ``kernel [7,7,3,64]`` (same name/shape as
+    nn.Conv, so torch ingestion and state dicts are untouched); the plans are
+    mathematically identical executions:
+
+      * ``direct``: plain stride-2 conv (XLA default)
+      * ``s2d``: input rearranged to 2×2 blocks ([B,H/2,W/2,4C]), kernel
+        left-padded to 8×8 and folded to [4,4,4C,F] — stride-1 on 4× the
+        channels (measured 1.94 → 1.64 ms fwd at batch 16, 256²)
+      * ``pack8``: one dense 768-lane matmul in 8×8 s2d space (_stem_pack8)
+    """
 
     features: int
     dtype: Any = jnp.float32
-    s2d: bool = True
+    plan: str = "s2d"
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +139,9 @@ class _Stem7x7(nn.Module):
             jnp.float32,
         )
         B, H, W, _ = x.shape
-        if not self.s2d or H % 2 or W % 2:
+        if self.plan == "pack8" and H % 8 == 0 and W % 8 == 0:
+            return _stem_pack8(x, kernel, self.features, self.dtype)
+        if self.plan == "direct" or H % 2 or W % 2:
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 (2, 2), ((3, 3), (3, 3)),
@@ -187,8 +260,9 @@ class ResNetBackbone(nn.Module):
     # stages are HBM-bandwidth-bound (measured 85% of v5e bw at 30% MXU), so
     # trading activation storage for recompute speeds training up
     remat: bool = False
-    # space-to-depth stem execution (identical math, same params; _Stem7x7)
-    stem_s2d: bool = True
+    # stem execution plan (identical math, same params; _Stem7x7):
+    # "direct" | "s2d" | "pack8"
+    stem_plan: str = "s2d"
 
     @nn.compact
     def __call__(self, x, train: bool = False, perturbations=None):
@@ -206,7 +280,7 @@ class ResNetBackbone(nn.Module):
         def width(c):
             return max(8, int(c * self.width_multiplier))
 
-        x = _Stem7x7(width(64), dt, s2d=self.stem_s2d, name="conv1")(x)
+        x = _Stem7x7(width(64), dt, plan=self.stem_plan, name="conv1")(x)
         x = _norm(dt, "bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
