@@ -90,6 +90,48 @@ def test_mask_store_roundtrip(tmp_path):
     assert images.shape == (2, 32, 32, 3) and masks.shape == (2, 32, 32)
 
 
+def test_native_png_writer_pixel_exact(tmp_path):
+    """Native zlib PNG encoder (native/wsdl_io.cpp): PIL round-trip must be
+    pixel-exact for both the {0,255} grayscale masks and RGB images, sync and
+    async, and io_flush must be a durability barrier."""
+    from PIL import Image
+
+    from weaklysuperviseddl_tpu import native
+
+    rng = np.random.default_rng(7)
+    mask = (rng.integers(0, 2, (41, 57)).astype(np.uint8)) * 255  # odd shape
+    img = rng.integers(0, 256, (41, 57, 3)).astype(np.uint8)
+
+    native.png_write(str(tmp_path / "sync_m.png"), mask)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(tmp_path / "sync_m.png").convert("L")), mask)
+
+    for i in range(16):  # async burst through the worker pool
+        native.png_write_async(str(tmp_path / f"a{i}.png"), img)
+    native.io_flush()
+    for i in range(16):
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(tmp_path / f"a{i}.png").convert("RGB")), img)
+
+    with pytest.raises(ValueError):
+        native.png_write(str(tmp_path / "bad.png"), img.astype(np.uint8)[..., :2])
+
+
+def test_mask_store_uses_async_writer_and_flush(tmp_path):
+    """MaskStore persistence goes through the native pool; flush() makes the
+    directory readable and load() self-flushes pending writes."""
+    store = MaskStore(directory=str(tmp_path))
+    rng = np.random.default_rng(3)
+    for i in range(8):
+        img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        mask = rng.integers(0, 2, (16, 16)).astype(np.uint8)
+        store.put(f"{i:04d}", img, mask)
+    # no explicit flush: load() must introduce the barrier itself
+    reloaded = MaskStore.load(str(tmp_path))
+    assert len(reloaded) == 8
+    store.flush()  # idempotent after load's global flush
+
+
 def test_metrics_match_reference_semantics():
     from weaklysuperviseddl_tpu.utils.metrics import compute_iou_and_acc, per_class_iou
 

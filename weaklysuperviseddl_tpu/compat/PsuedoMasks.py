@@ -74,7 +74,9 @@ def generate_pseudo_masks(
             store.put(f"{img_id}", np.asarray(x[i]), masks_np[i])
             img_id += 1
 
-    # rename the store's subdirs into the reference layout
+    # rename the store's subdirs into the reference layout (flush first: the
+    # async writers hold absolute paths into the pre-rename directories)
+    store.flush()
     os.rename(store.mask_dir, save_dir)
     os.rename(store.image_dir, image_save_dir)
     delete_dir_recursive(store_dir)

@@ -11,6 +11,12 @@ filesystem unless asked to persist.
 PNG value convention matches the reference's ``save_image(float mask)``:
 masks are stored as 8-bit PNGs with {0, 255}; loading maps back to {0, 1}
 (the reference's ``(mask == 255)`` reload at AlternatingDirectionCutLoss.py:726).
+
+Writes go through the native asynchronous PNG writer (native/wsdl_io.cpp —
+threaded zlib encoder; the Python loop driving the TPU never stalls on
+compression), with PIL as the fallback when the native library can't build.
+``flush()`` is the durability barrier; stage boundaries call it before the
+directory is read (mirroring the reference's implicit file-system ordering).
 """
 
 from __future__ import annotations
@@ -20,6 +26,16 @@ import os
 import numpy as np
 
 
+def _native_io():
+    try:
+        from weaklysuperviseddl_tpu import native
+
+        native._load()
+        return native
+    except Exception:
+        return None
+
+
 class MaskStore:
     """Holds (image uint8 [H,W,3], mask uint8 {0,1} [H,W]) pairs by string key."""
 
@@ -27,6 +43,7 @@ class MaskStore:
         self.directory = directory
         self._images: dict[str, np.ndarray] = {}
         self._masks: dict[str, np.ndarray] = {}
+        self._dirty = False
         if directory is not None:
             self.image_dir = os.path.join(directory, "images")
             self.mask_dir = os.path.join(directory, "pseudo_masks")
@@ -53,11 +70,26 @@ class MaskStore:
         self.put(key, None, mask)
 
     def _write_png(self, key, image, mask):
+        nat = _native_io()
+        if nat is not None:
+            nat.png_write_async(os.path.join(self.mask_dir, f"{key}.png"), mask * 255)
+            if image is not None:
+                nat.png_write_async(os.path.join(self.image_dir, f"{key}.png"), image)
+            self._dirty = True
+            return
         from PIL import Image
 
         Image.fromarray(mask * 255).save(os.path.join(self.mask_dir, f"{key}.png"))
         if image is not None:
             Image.fromarray(image).save(os.path.join(self.image_dir, f"{key}.png"))
+
+    def flush(self):
+        """Durability barrier: returns once every queued PNG write landed."""
+        if getattr(self, "_dirty", False):
+            nat = _native_io()
+            if nat is not None:
+                nat.io_flush()
+            self._dirty = False
 
     # -- read ----------------------------------------------------------------
     def keys(self):
@@ -84,6 +116,9 @@ class MaskStore:
         → fg, matching the (mask==255) binarize at AlternatingDirectionCutLoss.py:726)."""
         from PIL import Image
 
+        nat = _native_io()
+        if nat is not None:
+            nat.io_flush()  # pending async writes must land before re-listing
         store = cls(directory=None)
         store.directory = None
         image_dir = os.path.join(directory, "images")

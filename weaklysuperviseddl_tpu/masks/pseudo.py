@@ -148,4 +148,5 @@ def generate_pseudo_masks(
 
     for img_id in range(n):
         store.put(f"{img_id:05d}", images_np[img_id], masks_np[img_id])
+    store.flush()  # durability barrier: the directory is this stage's output
     return store

@@ -26,6 +26,14 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "wsdl_io_submit"):
+        # stale prebuilt library from before the IO runtime existed: rebuild.
+        # dlopen dedups by (dev, inode) and the linker truncates in place, so
+        # unlink first to guarantee the rebuilt object gets a fresh identity.
+        del lib
+        os.unlink(_LIB_PATH)
+        subprocess.run(["sh", os.path.join(_DIR, "build.sh")], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
 
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_ubyte)
@@ -42,6 +50,15 @@ def _load():
     lib.wsdl_label_components.argtypes = [ctypes.c_int, ctypes.c_int, u8p, i32p]
     lib.wsdl_label_components.restype = ctypes.c_int
     lib.wsdl_keep_largest.argtypes = [ctypes.c_int, ctypes.c_int, u8p, u8p]
+    lib.wsdl_io_start.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.wsdl_io_submit.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
+    lib.wsdl_io_submit.restype = ctypes.c_int
+    lib.wsdl_io_flush.argtypes = []
+    lib.wsdl_io_flush.restype = ctypes.c_int
+    lib.wsdl_png_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
+    lib.wsdl_png_write.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -108,6 +125,50 @@ def label_components(mask: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def _png_args(arr: np.ndarray):
+    a = np.ascontiguousarray(arr, np.uint8)
+    if a.ndim == 2:
+        H, W, C = a.shape[0], a.shape[1], 1
+    elif a.ndim == 3 and a.shape[2] in (1, 3):
+        H, W, C = a.shape[0], a.shape[1], a.shape[2]
+    else:
+        raise ValueError(f"expected [H,W], [H,W,1] or [H,W,3] uint8, got {arr.shape}")
+    return a, H, W, C
+
+
+def png_write_async(path: str, arr: np.ndarray) -> None:
+    """Enqueue a PNG write on the native writer pool and return immediately.
+
+    The pool copies the pixels synchronously, so the caller may reuse/free
+    `arr`. Call :func:`io_flush` before any stage that reads the files — the
+    reference pipeline communicates between stages via these directories
+    (PsuedoMasks.py:31-36; SURVEY.md §5 checkpoint/resume).
+    """
+    lib = _load()
+    a, H, W, C = _png_args(arr)
+    rc = lib.wsdl_io_submit(
+        path.encode(), H, W, C, a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise OSError(f"wsdl_io_submit failed for {path}")
+
+
+def png_write(path: str, arr: np.ndarray) -> None:
+    """Synchronous native PNG write (encode + write on the calling thread)."""
+    lib = _load()
+    a, H, W, C = _png_args(arr)
+    rc = lib.wsdl_png_write(
+        path.encode(), H, W, C, a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if rc != 0:
+        raise OSError(f"wsdl_png_write failed for {path}")
+
+
+def io_flush() -> None:
+    """Durability barrier: block until every queued PNG write completed."""
+    failures = _load().wsdl_io_flush()
+    if failures:
+        raise OSError(f"{failures} asynchronous PNG writes failed")
 
 
 def keep_largest(mask: np.ndarray) -> np.ndarray:

@@ -89,4 +89,5 @@ def save_alternation(root: str, iteration: int, state, store) -> str:
     for key in store.keys():
         image, mask = store.get(key)
         snapshot.put(key, image, mask)
+    snapshot.flush()  # the snapshot dir must be durable when this returns
     return alt_dir
