@@ -21,23 +21,27 @@ def _case(seed=0, B=2, H=16, W=16):
     return S, images, masks
 
 
+@pytest.mark.parametrize("plan", ["v1", "v2", "v2_aff"])
 @pytest.mark.parametrize("loss", ["ncut", "boundary"])
-def test_mega_kernel_matches_xla_path(loss):
+def test_mega_kernel_matches_xla_path(loss, plan):
     S, images, masks = _case(0)
     ref_m, ref_l = refine_from_soft_predictions(
         S, images, masks, num_steps=6, loss=loss, use_pallas=False)
     got_m, got_l = pallas_refine(
-        S, images, masks, num_steps=6, loss=loss, interpret=True)
+        S, images, masks, num_steps=6, loss=loss, interpret=True, plan=plan)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
 
 
-def test_mega_kernel_ragged_shape():
-    """Non-tile-aligned H/W exercise the alignment margins."""
+@pytest.mark.parametrize("plan", ["v1", "v2", "v2_aff"])
+def test_mega_kernel_ragged_shape(plan):
+    """Non-tile-aligned H/W exercise the alignment margins (v2 additionally
+    exercises the zero-ringed ad plane's alignment rounding)."""
     S, images, masks = _case(1, B=1, H=20, W=24)
     ref_m, ref_l = refine_from_soft_predictions(
         S, images, masks, num_steps=4, use_pallas=False)
-    got_m, got_l = pallas_refine(S, images, masks, num_steps=4, interpret=True)
+    got_m, got_l = pallas_refine(
+        S, images, masks, num_steps=4, interpret=True, plan=plan)
     np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
 

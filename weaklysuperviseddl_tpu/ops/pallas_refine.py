@@ -214,9 +214,199 @@ def _refine_kernel(
     loss_ref[0, 0] += total
 
 
-def refine_vmem_bytes(S_shape, window_size: int) -> int:
+def _refine_kernel_v2(
+    img_ref,      # [1, 3, Hp, Wa]  reflect-padded image planes
+    s_ref,        # [1, C, Ha, Wa]  soft predictions (interior in [:H,:W])
+    mask_ref,     # [1, Ha, Wa]     int32 initial mask
+    out_ref,      # [1, Ha, Wa]     int32 refined mask
+    loss_ref,     # [1, 1]          SMEM: Σ over images of Σ step losses
+    x_ref,        # scratch [C, Ha, Wa]      the optimized variable
+    m_ref,        # scratch [C, Ha, Wa]      Adam m
+    v_ref,        # scratch [C, Ha, Wa]      Adam v
+    tp_ref,       # scratch [C, Hp2a, Wp2a]  padded window-input planes
+    gp_ref,       # scratch [C, Hp2a, Wp2a]  padded window-gradient planes
+    ad_ref,       # scratch [Hqa, Wqa]       zero-ringed aff·diff plane
+    *,
+    H, W, pad, offsets, inv2sc, spatial_coeff, C, num_steps,
+    lr, lambda_boundary, threshold, double_softmax, normW, precompute_aff,
+):
+    """v2 of the mega-kernel: same math as _refine_kernel, restructured around
+    the two costs that BASELINE.md's round-2 measurement left on the table:
+
+    * the color affinities depend only on the image, which is CONSTANT across
+      the Adam steps — ``precompute_aff`` computes all K planes once before
+      the ``fori_loop`` (they stay live in VMEM) instead of re-evaluating
+      K exp()s per step;
+    * the window backward's 2·K·C misaligned slice-ACCUMULATES per step
+      (each a read+add+write against gp_ref) become register-held
+      accumulators: the center term sums the freshly computed ``ad`` values
+      directly, and the neighbor term is a shifted pure READ of ``ad`` from a
+      zero-ringed scratch plane — exploiting grad(r) = Σ_o 2·ad_o(r)
+      − 2·ad_o(r−o), whose second term is a gather, not a scatter. Only the
+      thin reflect-fold margins still read-modify-write.
+    """
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    Hp2 = 2 * pad + H
+    Wp2 = 2 * pad + W
+
+    mask = mask_ref[0, :H, :W]
+    for c in range(C):
+        x_ref[c, :H, :W] = (mask == c).astype(jnp.float32)
+    m_ref[:, :, :] = jnp.zeros(m_ref.shape, jnp.float32)
+    v_ref[:, :, :] = jnp.zeros(v_ref.shape, jnp.float32)
+    # zero ring: per-offset writes only ever touch the interior
+    ad_ref[:, :] = jnp.zeros(ad_ref.shape, jnp.float32)
+
+    center_img = [img_ref[0, ch, pad : pad + H, pad : pad + W] for ch in range(3)]
+
+    def affinity(dy, dx):
+        color = None
+        for ch in range(3):
+            shifted = img_ref[0, ch, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+            d = center_img[ch] - shifted
+            color = d * d if color is None else color + d * d
+        expo = -color * inv2sc
+        if spatial_coeff is not None:
+            expo = expo - (dx * dx + dy * dy) * spatial_coeff
+        return jnp.exp(expo)
+
+    affs = [affinity(dy, dx) for dy, dx in offsets] if precompute_aff else None
+
+    def softmax_c(planes):
+        mx = planes[0]
+        for p_ in planes[1:]:
+            mx = jnp.maximum(mx, p_)
+        es = [jnp.exp(p_ - mx) for p_ in planes]
+        tot = es[0]
+        for e in es[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        return [e * inv for e in es]
+
+    def softmax_vjp(p_planes, g_planes):
+        dot = p_planes[0] * g_planes[0]
+        for p_, g_ in zip(p_planes[1:], g_planes[1:]):
+            dot = dot + p_ * g_
+        return [p_ * (g_ - dot) for p_, g_ in zip(p_planes, g_planes)]
+
+    def write_reflect(planes):
+        for c in range(C):
+            tp_ref[c, pad : pad + H, pad : pad + W] = planes[c]
+        for j in range(1, pad + 1):
+            for c in range(C):
+                tp_ref[c, pad - j, pad : pad + W] = tp_ref[c, pad + j, pad : pad + W]
+                tp_ref[c, pad + H - 1 + j, pad : pad + W] = (
+                    tp_ref[c, pad + H - 1 - j, pad : pad + W]
+                )
+        for j in range(1, pad + 1):
+            for c in range(C):
+                tp_ref[c, 0:Hp2, pad - j] = tp_ref[c, 0:Hp2, pad + j]
+                tp_ref[c, 0:Hp2, pad + W - 1 + j] = tp_ref[c, 0:Hp2, pad + W - 1 - j]
+
+    def fold_reflect():
+        for j in range(1, pad + 1):
+            for c in range(C):
+                gp_ref[c, 0:Hp2, pad + j] = gp_ref[c, 0:Hp2, pad + j] + gp_ref[c, 0:Hp2, pad - j]
+                gp_ref[c, 0:Hp2, pad + W - 1 - j] = (
+                    gp_ref[c, 0:Hp2, pad + W - 1 - j] + gp_ref[c, 0:Hp2, pad + W - 1 + j]
+                )
+        for j in range(1, pad + 1):
+            for c in range(C):
+                gp_ref[c, pad + j, pad : pad + W] = (
+                    gp_ref[c, pad + j, pad : pad + W] + gp_ref[c, pad - j, pad : pad + W]
+                )
+                gp_ref[c, pad + H - 1 - j, pad : pad + W] = (
+                    gp_ref[c, pad + H - 1 - j, pad : pad + W]
+                    + gp_ref[c, pad + H - 1 + j, pad : pad + W]
+                )
+        return [gp_ref[c, pad : pad + H, pad : pad + W] for c in range(C)]
+
+    def step(t, loss_acc):
+        x = [x_ref[c, :H, :W] for c in range(C)]
+        q = softmax_c(x)
+
+        s = [s_ref[0, c, :H, :W] for c in range(C)]
+        kl = jnp.zeros((), jnp.float32)
+        for c in range(C):
+            p_log_p = jnp.where(s[c] > 0, s[c] * jnp.log(jnp.where(s[c] > 0, s[c], 1.0)), 0.0)
+            kl = kl + jnp.sum(p_log_p - s[c] * jnp.log(q[c] + 1e-8))
+
+        t_planes = softmax_c(q) if double_softmax else q
+        write_reflect(t_planes)
+
+        # window sum + both gradient roles in one sweep; the centers come
+        # straight from t_planes (values), never re-read from tp_ref
+        wsum = jnp.zeros((), jnp.float32)
+        g_center = [None] * C
+        g_shift = [None] * C
+        for k, (dy, dx) in enumerate(offsets):
+            aff = affs[k] if precompute_aff else affinity(dy, dx)
+            for c in range(C):
+                shifted = tp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
+                d = t_planes[c] - shifted
+                ad = aff * d
+                wsum = wsum + jnp.sum(ad * d)
+                g_center[c] = ad if g_center[c] is None else g_center[c] + ad
+                # neighbor role as a shifted READ: grad_pad(p) −= ad(p−o−pad),
+                # ad stored with its interior at (2·pad, 2·pad) inside a zero
+                # ring so out-of-interior reads contribute exactly 0
+                ad_ref[2 * pad : 2 * pad + H, 2 * pad : 2 * pad + W] = ad
+                nb = ad_ref[pad - dy : pad - dy + Hp2, pad - dx : pad - dx + Wp2]
+                g_shift[c] = -nb if g_shift[c] is None else g_shift[c] - nb
+
+        w = wsum * normW
+        lam = lambda_boundary * kl / (w + 1e-6)        # stop-grad ratio
+        loss = kl + lam * w
+
+        for c in range(C):
+            gp_ref[c, 0:Hp2, 0:Wp2] = g_shift[c]
+        folded = fold_reflect()
+        scale = 2.0 * lam * normW
+        g_t = [(g_center[c] + folded[c]) * scale for c in range(C)]
+        if double_softmax:
+            g_q_window = softmax_vjp(t_planes, g_t)
+        else:
+            g_q_window = g_t
+        g_q = [g - s[c] / (q[c] + 1e-8) for c, g in enumerate(g_q_window)]
+        g_x = softmax_vjp(q, g_q)
+
+        import math as _math
+
+        tt = (t + 1).astype(jnp.float32)
+        bc1 = 1.0 - jnp.exp(tt * _math.log(b1))
+        bc2 = 1.0 - jnp.exp(tt * _math.log(b2))
+        for c in range(C):
+            g = g_x[c]
+            m_new = b1 * m_ref[c, :H, :W] + (1.0 - b1) * g
+            v_new = b2 * v_ref[c, :H, :W] + (1.0 - b2) * g * g
+            m_ref[c, :H, :W] = m_new
+            v_ref[c, :H, :W] = v_new
+            upd = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + eps)
+            x_ref[c, :H, :W] = x_ref[c, :H, :W] - lr * upd
+
+        return loss_acc + loss
+
+    total = jax.lax.fori_loop(0, num_steps, step, jnp.zeros((), jnp.float32))
+
+    xf = [x_ref[c, :H, :W] for c in range(C)]
+    qf = softmax_c(xf)
+    out_ref[0, :, :] = jnp.zeros(out_ref.shape[1:], jnp.int32)
+    out_ref[0, :H, :W] = (qf[1] > threshold).astype(jnp.int32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        loss_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    loss_ref[0, 0] += total
+
+
+def refine_vmem_bytes(S_shape, window_size: int, plan: str = "v1") -> int:
     """Per-program VMEM working set of the mega-kernel (inputs + scratch),
-    used by train/refine to decide kernel vs XLA fallback for big images."""
+    used by train/refine to decide kernel vs XLA fallback for big images.
+
+    plan: "v1" (round-2 kernel), "v2" (shifted-read backward + zero-ringed ad
+    scratch), "v2_aff" (v2 + K precomputed affinity planes held live across
+    the Adam loop)."""
     _, H, W, C = S_shape
     pad = window_size // 2
     Ha, Wa = _round_up(H, 8), _round_up(W, 128)
@@ -229,27 +419,56 @@ def refine_vmem_bytes(S_shape, window_size: int) -> int:
         + 3 * C * Ha * Wa        # x, m, v
         + 2 * C * Hp2a * Wp2a    # padded t + padded grads
     )
+    if plan.startswith("v2"):
+        planes += _round_up(H + 4 * pad, 8) * _round_up(W + 4 * pad, 128)  # ad
+    if plan == "v2_aff":
+        planes += len(_offsets(window_size)) * Ha * Wa  # live affinity planes
     return planes * 4
+
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_plan(S_shape, window_size):
+    """Plan selection, settled by measurement on the real chip (2026-08-18,
+    scripts/bench_refine_plans.py): the v2 shifted-read backward holds
+    g_center/g_shift (full padded planes per class) plus the per-offset ad
+    values LIVE across the K=24 offset loop, and Mosaic allocates those
+    loop-carried values on the kernel's scoped-vmem STACK — 38.6 MiB at 256²
+    (17.2 MiB even at 224²) against a 16 MiB scoped limit, so v2/v2_aff fail
+    to compile on real TPUs at every production geometry. The declared-scratch
+    estimate below cannot see compiler stack usage. v1's slice-accumulates
+    write straight to gp_ref scratch and keep the live set tiny; it remains
+    the only plan that compiles, and the default. v2 stays available
+    explicitly (and interpret-mode parity-tested) as the recorded experiment."""
+    del S_shape, window_size
+    return "v1"
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "lambda_boundary", "threshold", "lr", "num_steps", "sigma_color",
-        "sigma_space", "window_size", "loss", "interpret",
+        "sigma_space", "window_size", "loss", "interpret", "plan",
     ),
 )
 def pallas_refine(
     S, images, masks,
     lambda_boundary=0.1, threshold=0.5, lr=1e-2, num_steps=20,
     sigma_color=0.1, sigma_space=5.0, window_size=5, loss="ncut",
-    interpret=False,
+    interpret=False, plan="auto",
 ):
     """Batched refinement, one VMEM-resident program per image.
 
     Same contract as train.refine.refine_from_soft_predictions: returns
-    (refined uint8 [B,H,W], mean per-image total loss)."""
+    (refined uint8 [B,H,W], mean per-image total loss).
+
+    plan: "auto" (default — resolves to "v1", the only plan that compiles on
+    real TPUs; see _pick_plan), or pin "v1" / "v2" / "v2_aff" explicitly
+    (see _refine_kernel_v2 / BASELINE.md for the measured negative result)."""
     B, H, W, C = S.shape
+    if plan == "auto":
+        plan = _pick_plan(S.shape, window_size)
     pad = window_size // 2
     offsets = _offsets(window_size)
     K = len(offsets)
@@ -280,13 +499,36 @@ def pallas_refine(
         masks.astype(jnp.int32), ((0, 0), (0, Ha - H), (0, Wa - W))
     )
 
-    kernel = partial(
-        _refine_kernel,
-        H=H, W=W, pad=pad, offsets=offsets, inv2sc=inv2sc,
-        spatial_coeff=spatial_coeff, C=C, num_steps=num_steps,
-        lr=lr, lambda_boundary=lambda_boundary, threshold=threshold,
-        double_softmax=double_softmax, normW=normW,
-    )
+    scratch_shapes = [
+        pltpu.VMEM((C, Ha, Wa), jnp.float32),      # x
+        pltpu.VMEM((C, Ha, Wa), jnp.float32),      # m
+        pltpu.VMEM((C, Ha, Wa), jnp.float32),      # v
+        pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded t planes
+        pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded grads
+    ]
+    if plan == "v1":
+        kernel = partial(
+            _refine_kernel,
+            H=H, W=W, pad=pad, offsets=offsets, inv2sc=inv2sc,
+            spatial_coeff=spatial_coeff, C=C, num_steps=num_steps,
+            lr=lr, lambda_boundary=lambda_boundary, threshold=threshold,
+            double_softmax=double_softmax, normW=normW,
+        )
+    else:
+        kernel = partial(
+            _refine_kernel_v2,
+            H=H, W=W, pad=pad, offsets=offsets, inv2sc=inv2sc,
+            spatial_coeff=spatial_coeff, C=C, num_steps=num_steps,
+            lr=lr, lambda_boundary=lambda_boundary, threshold=threshold,
+            double_softmax=double_softmax, normW=normW,
+            precompute_aff=(plan == "v2_aff"),
+        )
+        scratch_shapes.append(
+            pltpu.VMEM(
+                (_round_up(H + 4 * pad, 8), _round_up(W + 4 * pad, 128)),
+                jnp.float32,
+            )  # zero-ringed ad plane
+        )
     out, total = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -307,13 +549,7 @@ def pallas_refine(
             jax.ShapeDtypeStruct((B, Ha, Wa), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # x
-            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # m
-            pltpu.VMEM((C, Ha, Wa), jnp.float32),      # v
-            pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded t planes
-            pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded grads
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(img_p, s_p, mask_p)
     refined = out[:, :H, :W].astype(jnp.uint8)
