@@ -3,6 +3,8 @@
 Plans (ops/pallas_refine.py):
   v1     — round-2 kernel: window backward as 2·K·C misaligned
            slice-accumulates into the padded grad planes per step.
+  v1sym  — v1 + the C==2 class-symmetry reduction: the offset sweep runs for
+           class 0 only (d_1 = -d_0 when the window planes sum to 1).
   v2     — backward restructured: center term accumulated in registers from
            the freshly computed aff·diff values; neighbor term a shifted pure
            READ of a zero-ringed ad scratch plane (gather, not scatter);
@@ -48,19 +50,32 @@ def main():
         masks = jnp.asarray((rng.uniform(size=(B, H, W)) > 0.5).astype(np.uint8))
 
         ref_masks = None
-        for plan in ("v1", "v2", "v2_aff"):
+        for plan in ("v1", "v1sym", "v2", "v2_aff"):
             vmem = refine_vmem_bytes((B, H, W, C), 5, plan)
             label = f"{size}/{plan}"
             if vmem > 13 * 1024 * 1024:
                 print(f"{label}: skipped (vmem {vmem/2**20:.1f} MiB)")
                 continue
 
-            def run():
-                m, l = pallas_refine(S, images, masks, num_steps=10, plan=plan)
-                return np.asarray(m), float(l)
+            ITERS = 10
+
+            @jax.jit
+            def run_n(S_, images_, masks_):
+                # amortize the relay dispatch+readback floor over ITERS
+                # in-jit calls (bench.py's methodology) — a single dispatch
+                # with two readbacks is floor-dominated (~50 ms) against a
+                # ~3.5 ms kernel
+                def body(carry, _):
+                    m, l = pallas_refine(
+                        S_, images_, masks_, num_steps=10, plan=plan)
+                    return carry + l + jnp.sum(m.astype(jnp.float32)), None
+                tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(ITERS))
+                return tot
 
             try:
-                m, l = run()  # compile
+                m, l = pallas_refine(S, images, masks, num_steps=10, plan=plan)
+                m = np.asarray(m)
+                float(run_n(S, images, masks))  # compile
             except Exception as e:  # noqa: BLE001 — report and keep sweeping
                 msg = str(e)
                 if "vmem" in msg.lower():
@@ -71,12 +86,13 @@ def main():
             if ref_masks is None:
                 ref_masks = m
             agree = float((m == ref_masks).mean())
+            l = float(l)
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                run()
+                float(run_n(S, images, masks))
                 ts.append(time.perf_counter() - t0)
-            net = max(min(ts) - floor, 1e-9)
+            net = max((min(ts) - floor) / ITERS, 1e-9)
             rate = B / net
             results[label] = {
                 "ms_per_batch": round(net * 1e3, 2),

@@ -21,7 +21,7 @@ def _case(seed=0, B=2, H=16, W=16):
     return S, images, masks
 
 
-@pytest.mark.parametrize("plan", ["v1", "v2", "v2_aff"])
+@pytest.mark.parametrize("plan", ["v1", "v1sym", "v2", "v2_aff"])
 @pytest.mark.parametrize("loss", ["ncut", "boundary"])
 def test_mega_kernel_matches_xla_path(loss, plan):
     S, images, masks = _case(0)
@@ -33,7 +33,7 @@ def test_mega_kernel_matches_xla_path(loss, plan):
     np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
 
 
-@pytest.mark.parametrize("plan", ["v1", "v2", "v2_aff"])
+@pytest.mark.parametrize("plan", ["v1", "v1sym", "v2", "v2_aff"])
 def test_mega_kernel_ragged_shape(plan):
     """Non-tile-aligned H/W exercise the alignment margins (v2 additionally
     exercises the zero-ringed ad plane's alignment rounding)."""

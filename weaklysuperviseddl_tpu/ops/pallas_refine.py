@@ -55,9 +55,15 @@ def _refine_kernel(
     gp_ref,       # scratch [C, Hp2, Wp2]    padded window-gradient planes
     *,
     H, W, pad, offsets, inv2sc, spatial_coeff, C, num_steps,
-    lr, lambda_boundary, threshold, double_softmax, normW,
+    lr, lambda_boundary, threshold, double_softmax, normW, symmetric=False,
 ):
     b1, b2, eps = 0.9, 0.999, 1e-8
+    # symmetric (C==2 only): both window-input planes sum to 1 (softmax), so
+    # d_1 = -d_0 and aff·d_1·d_1 = aff·d_0·d_0 — the whole offset sweep
+    # (reflect-write, K shifted reads, 2K slice-accumulates, fold) runs for
+    # class 0 alone; wsum doubles and g_t1 = -g_t0. Exact up to the ~1-ulp
+    # error of the softmax channels' sum, halving the kernel's hot loop.
+    ncls = 1 if symmetric else C
 
     # init: X = one_hot(mask), moments = 0
     mask = mask_ref[0, :H, :W]
@@ -97,13 +103,13 @@ def _refine_kernel(
         return [p_ * (g_ - dot) for p_, g_ in zip(p_planes, g_planes)]
 
     def write_reflect(planes):
-        """planes [C][H,W] → tp_ref with jnp.pad(mode='reflect') semantics
+        """planes [ncls][H,W] → tp_ref with jnp.pad(mode='reflect') semantics
         (rows mirrored about the edge, then columns of the row-padded array)."""
-        for c in range(C):
+        for c in range(len(planes)):
             tp_ref[c, pad : pad + H, pad : pad + W] = planes[c]
         # rows
         for j in range(1, pad + 1):
-            for c in range(C):
+            for c in range(len(planes)):
                 tp_ref[c, pad - j, pad : pad + W] = tp_ref[c, pad + j, pad : pad + W]
                 tp_ref[c, pad + H - 1 + j, pad : pad + W] = (
                     tp_ref[c, pad + H - 1 - j, pad : pad + W]
@@ -111,23 +117,23 @@ def _refine_kernel(
         # columns (over the full padded height → corners come out right)
         Hp2 = 2 * pad + H
         for j in range(1, pad + 1):
-            for c in range(C):
+            for c in range(len(planes)):
                 tp_ref[c, 0:Hp2, pad - j] = tp_ref[c, 0:Hp2, pad + j]
                 tp_ref[c, 0:Hp2, pad + W - 1 + j] = tp_ref[c, 0:Hp2, pad + W - 1 - j]
 
     def fold_reflect():
-        """Transpose of write_reflect on gp_ref → interior [C][H,W] grads."""
+        """Transpose of write_reflect on gp_ref → interior [ncls][H,W] grads."""
         Hp2 = 2 * pad + H
         # columns first (reverse order of the pad)
         for j in range(1, pad + 1):
-            for c in range(C):
+            for c in range(ncls):
                 gp_ref[c, 0:Hp2, pad + j] = gp_ref[c, 0:Hp2, pad + j] + gp_ref[c, 0:Hp2, pad - j]
                 gp_ref[c, 0:Hp2, pad + W - 1 - j] = (
                     gp_ref[c, 0:Hp2, pad + W - 1 - j] + gp_ref[c, 0:Hp2, pad + W - 1 + j]
                 )
         # then rows
         for j in range(1, pad + 1):
-            for c in range(C):
+            for c in range(ncls):
                 gp_ref[c, pad + j, pad : pad + W] = (
                     gp_ref[c, pad + j, pad : pad + W] + gp_ref[c, pad - j, pad : pad + W]
                 )
@@ -135,7 +141,7 @@ def _refine_kernel(
                     gp_ref[c, pad + H - 1 - j, pad : pad + W]
                     + gp_ref[c, pad + H - 1 + j, pad : pad + W]
                 )
-        return [gp_ref[c, pad : pad + H, pad : pad + W] for c in range(C)]
+        return [gp_ref[c, pad : pad + H, pad : pad + W] for c in range(ncls)]
 
     def step(t, loss_acc):
         x = [x_ref[c, :H, :W] for c in range(C)]
@@ -149,14 +155,17 @@ def _refine_kernel(
             kl = kl + jnp.sum(p_log_p - s[c] * jnp.log(q[c] + 1e-8))
 
         t_planes = softmax_c(q) if double_softmax else q
-        write_reflect(t_planes)
+        write_reflect(t_planes[:ncls])
 
         # window sum + padded gradient in one sweep over offsets
-        gp_ref[:, :, :] = jnp.zeros(gp_ref.shape, jnp.float32)
+        if symmetric:
+            gp_ref[0, :, :] = jnp.zeros(gp_ref.shape[1:], jnp.float32)
+        else:
+            gp_ref[:, :, :] = jnp.zeros(gp_ref.shape, jnp.float32)
         wsum = jnp.zeros((), jnp.float32)
         for dy, dx in offsets:
             aff = affinity(dy, dx)
-            for c in range(C):
+            for c in range(ncls):
                 shifted = tp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W]
                 d = tp_ref[c, pad : pad + H, pad : pad + W] - shifted
                 ad = aff * d
@@ -167,6 +176,8 @@ def _refine_kernel(
                 gp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] = (
                     gp_ref[c, pad + dy : pad + dy + H, pad + dx : pad + dx + W] - 2.0 * ad
                 )
+        if symmetric:
+            wsum = wsum + wsum
 
         w = wsum * normW
         lam = lambda_boundary * kl / (w + 1e-6)        # stop-grad ratio
@@ -174,6 +185,8 @@ def _refine_kernel(
 
         g_t = fold_reflect()                            # dL/dt (before λ scale)
         g_t = [g * (lam * normW) for g in g_t]
+        if symmetric:
+            g_t = [g_t[0], -g_t[0]]
         if double_softmax:
             g_q_window = softmax_vjp(t_planes, g_t)
         else:
@@ -404,9 +417,9 @@ def refine_vmem_bytes(S_shape, window_size: int, plan: str = "v1") -> int:
     """Per-program VMEM working set of the mega-kernel (inputs + scratch),
     used by train/refine to decide kernel vs XLA fallback for big images.
 
-    plan: "v1" (round-2 kernel), "v2" (shifted-read backward + zero-ringed ad
-    scratch), "v2_aff" (v2 + K precomputed affinity planes held live across
-    the Adam loop)."""
+    plan: "v1"/"v1sym" (round-2 kernel; sym shares its scratch), "v2"
+    (shifted-read backward + zero-ringed ad scratch), "v2_aff" (v2 + K
+    precomputed affinity planes held live across the Adam loop)."""
     _, H, W, C = S_shape
     pad = window_size // 2
     Ha, Wa = _round_up(H, 8), _round_up(W, 128)
@@ -438,11 +451,15 @@ def _pick_plan(S_shape, window_size):
     (17.2 MiB even at 224²) against a 16 MiB scoped limit, so v2/v2_aff fail
     to compile on real TPUs at every production geometry. The declared-scratch
     estimate below cannot see compiler stack usage. v1's slice-accumulates
-    write straight to gp_ref scratch and keep the live set tiny; it remains
-    the only plan that compiles, and the default. v2 stays available
-    explicitly (and interpret-mode parity-tested) as the recorded experiment."""
-    del S_shape, window_size
-    return "v1"
+    write straight to gp_ref scratch and keep the live set tiny; v2 stays
+    available explicitly (and interpret-mode parity-tested) as the recorded
+    experiment.
+
+    For the production binary case (C==2) "v1sym" runs the v1 structure with
+    the class-symmetry reduction (see _refine_kernel): both window planes sum
+    to 1, so the whole offset sweep runs once instead of per class."""
+    del window_size
+    return "v1sym" if S_shape[-1] == 2 else "v1"
 
 
 @partial(
@@ -463,9 +480,9 @@ def pallas_refine(
     Same contract as train.refine.refine_from_soft_predictions: returns
     (refined uint8 [B,H,W], mean per-image total loss).
 
-    plan: "auto" (default — resolves to "v1", the only plan that compiles on
-    real TPUs; see _pick_plan), or pin "v1" / "v2" / "v2_aff" explicitly
-    (see _refine_kernel_v2 / BASELINE.md for the measured negative result)."""
+    plan: "auto" (default — "v1sym" for binary masks, else "v1"; see
+    _pick_plan), or pin "v1" / "v1sym" / "v2" / "v2_aff" explicitly (see
+    _refine_kernel_v2 / BASELINE.md for v2's measured negative result)."""
     B, H, W, C = S.shape
     if plan == "auto":
         plan = _pick_plan(S.shape, window_size)
@@ -506,13 +523,16 @@ def pallas_refine(
         pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded t planes
         pltpu.VMEM((C, Hp2a, Wp2a), jnp.float32),  # padded grads
     ]
-    if plan == "v1":
+    if plan in ("v1", "v1sym"):
+        if plan == "v1sym" and C != 2:
+            raise ValueError("plan='v1sym' requires C == 2")
         kernel = partial(
             _refine_kernel,
             H=H, W=W, pad=pad, offsets=offsets, inv2sc=inv2sc,
             spatial_coeff=spatial_coeff, C=C, num_steps=num_steps,
             lr=lr, lambda_boundary=lambda_boundary, threshold=threshold,
             double_softmax=double_softmax, normW=normW,
+            symmetric=(plan == "v1sym"),
         )
     else:
         kernel = partial(
