@@ -84,6 +84,39 @@ def test_serving_predictor():
     assert set(np.unique(masks)).issubset({0, 1})
 
 
+def test_serving_predictor_int8():
+    """Predictor.quantize swaps the program for the int8 PTQ rewrite
+    (ops/quant.py) without changing the serving contract."""
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    pred = Predictor(model, state, size=48, max_batch=4)
+
+    rng = np.random.default_rng(1)
+    calib = (rng.uniform(0, 1, (8, 48, 48, 3)) * 255).astype(np.uint8)
+    report = pred.quantize(calib)
+    assert len(report.rows) >= 10  # every backbone/head conv rewritten
+    pred.warmup()
+
+    imgs = (rng.uniform(0, 1, (3, 48, 48, 3)) * 255).astype(np.uint8)
+    masks = pred(imgs)
+    assert masks.shape == (3, 48, 48)
+    assert set(np.unique(masks)).issubset({0, 1})
+
+    # quantized serving must agree with the float path almost everywhere.
+    # (random-init logits sit near the decision boundary, so this bar is
+    # loose; the >0.99 trained-model bar lives in
+    # tests/test_quant.py::test_deeplab_serving_quality_after_quantization)
+    ref = Predictor(model, state, size=48, max_batch=4)(imgs)
+    agreement = (ref == masks).mean()
+    assert agreement > 0.95, f"int8 serving agreement {agreement:.4f}"
+
+
 def test_pseudo_mask_generation_dispatch_invariance():
     """The device-resident generate_pseudo_masks must produce identical
     stores regardless of batches_per_dispatch grouping, and respect the
