@@ -117,6 +117,37 @@ def test_serving_predictor_int8():
     assert agreement > 0.95, f"int8 serving agreement {agreement:.4f}"
 
 
+def test_serving_packed_and_pipelined_match_per_call():
+    """pack_binary_masks round-trips through np.unpackbits, and the packed /
+    pipelined (predict_many) paths produce exactly the per-call masks,
+    including the ragged tail chunk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor, pack_binary_masks
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 2, (2, 5, 16)).astype(np.uint8)
+    packed = np.asarray(pack_binary_masks(jnp.asarray(m)))
+    assert packed.shape == (2, 5, 2)
+    np.testing.assert_array_equal(np.unpackbits(packed, axis=-1), m)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    imgs = (rng.uniform(0, 1, (11, 48, 48, 3)) * 255).astype(np.uint8)
+
+    plain = Predictor(model, state, size=48, max_batch=4)
+    ref = np.concatenate([plain(imgs[s : s + 4]) for s in range(0, 11, 4)])
+    for packed_flag in (False, True):
+        p = Predictor(model, state, size=48, max_batch=4, packed=packed_flag)
+        got = p.predict_many(imgs, in_flight=2)  # 11 = 2 full chunks + tail of 3
+        assert got.shape == (11, 48, 48)
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(p(imgs[:3]), ref[:3])
+
+
 def test_pseudo_mask_generation_dispatch_invariance():
     """The device-resident generate_pseudo_masks must produce identical
     stores regardless of batches_per_dispatch grouping, and respect the
