@@ -260,6 +260,46 @@ def main():
     refine_rate = ref_iters * ref_batch / _net(
         _timed(lambda: float(refine_stage_n(S, ref_images, ref_masks))), floor)
 
+    # --- stage S: serving forward (bf16 + int8 PTQ) ---------------------------
+    # beyond-reference production path (pipelines/serve.py, ops/quant.py):
+    # uint8 → preprocess → DeepLabV3 forward → argmax masks, measured in-jit
+    # (chip rate; the relay-transfer-bound end-to-end number is in BASELINE.md)
+    serve_rate = serve_int8_rate = None
+    if os.environ.get("WSDL_BENCH_SERVE", "0" if small else "1") == "1":
+        from weaklysuperviseddl_tpu.data.preprocess import preprocess_batch
+        from weaklysuperviseddl_tpu.ops.quant import Int8Quantizer
+        from weaklysuperviseddl_tpu.train.segmentation import _normalize_images
+
+        srv_batch = int(os.environ.get("WSDL_BENCH_SERVE_BATCH", 32))
+        srv_imgs = jnp.asarray(
+            rng.uniform(0, 255, (srv_batch, seg_size, seg_size, 3)).astype(np.uint8))
+
+        def serve_fwd(images_uint8):
+            x, _ = preprocess_batch(images_uint8, None, size=seg_size)
+            x = _normalize_images(x)
+            logits = seg.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        def serve_scan(fwd):
+            @jax.jit
+            def n_iter(images):
+                def body(c, i):
+                    out = fwd(jnp.bitwise_xor(images, i.astype(jnp.uint8)))
+                    return c + jnp.sum(out.astype(jnp.int32)), None
+                tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+                return tot
+            float(n_iter(srv_imgs))  # compile
+            return iters * srv_batch / _net(
+                _timed(lambda: float(n_iter(srv_imgs))), floor)
+
+        serve_rate = serve_scan(serve_fwd)
+        q = Int8Quantizer(serve_fwd, (srv_imgs,))
+        q.observe(srv_imgs)
+        qfn, _report = q.build()
+        serve_int8_rate = serve_scan(qfn)
+
     cycle2 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
     cycle = 1.0 / (
         1.0 / fc_rate + 1.0 / cam_rate + 1.0 / seg_rate + 1.0 / refine_rate)
@@ -312,6 +352,9 @@ def main():
             "cycle_crf_on_img_per_s": round(cycle_crf, 2) if cycle_crf else None,
             "cycle_crf_vs_baseline": (
                 round(cycle_crf_vs_baseline, 2) if cycle_crf_vs_baseline else None),
+            "serve_img_per_s": round(serve_rate, 2) if serve_rate else None,
+            "serve_int8_img_per_s": (
+                round(serve_int8_rate, 2) if serve_int8_rate else None),
             "cam_batch": cam_batch,
             "seg_batch": seg_batch,
             "refine_batch": ref_batch,
