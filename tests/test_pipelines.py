@@ -148,6 +148,38 @@ def test_serving_packed_and_pipelined_match_per_call():
         np.testing.assert_array_equal(p(imgs[:3]), ref[:3])
 
 
+def test_serving_data_parallel_mesh_matches_single_device():
+    """Predictor(mesh=...) shards the serving batch on 'data' (params
+    replicated, GSPMD partitions the program); results must match the
+    single-device path bit-for-bit — float, packed, and int8 variants."""
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.parallel.mesh import make_mesh
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    mesh = make_mesh(data=8)
+    rng = np.random.default_rng(2)
+    imgs = (rng.uniform(0, 1, (8, 48, 48, 3)) * 255).astype(np.uint8)
+
+    ref = Predictor(model, state, size=48, max_batch=8)(imgs)
+    dp = Predictor(model, state, size=48, max_batch=8, mesh=mesh)
+    np.testing.assert_array_equal(dp(imgs), ref)
+
+    dp_packed = Predictor(model, state, size=48, max_batch=8, mesh=mesh,
+                          packed=True)
+    np.testing.assert_array_equal(dp_packed(imgs), ref)
+
+    dp8 = Predictor(model, state, size=48, max_batch=8, mesh=mesh)
+    dp8.quantize(imgs)
+    q_ref = Predictor(model, state, size=48, max_batch=8)
+    q_ref.quantize(imgs)
+    np.testing.assert_array_equal(dp8(imgs), q_ref(imgs))
+
+
 def test_pseudo_mask_generation_dispatch_invariance():
     """The device-resident generate_pseudo_masks must produce identical
     stores regardless of batches_per_dispatch grouping, and respect the

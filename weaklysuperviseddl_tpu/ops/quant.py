@@ -32,6 +32,14 @@ including ops inside nested jits (e.g. the bilinear resize), replays
 unchanged. The pass is therefore safe-by-default: an equation it cannot
 prove quantizable stays in float.
 
+Scale note: the captured weights (jaxpr consts) and the quantized weight
+tables are threaded through every compiled pass as runtime ARGUMENTS, never
+as program constants — baked consts travel inside each compile request and
+executable, which breaks RPC-compiled backends on big models (BASNet's
+350 MB of fp32 consts drew HTTP 413 from this environment's relay) and
+defeats executable caching. With weights as arguments the programs stay
+small and the weight upload happens once.
+
 Used by pipelines/serve.Predictor.quantize(calibration_images) — see there
 for the end-to-end serving integration and tests/test_quant.py for the
 contract.
@@ -202,8 +210,9 @@ class Int8Quantizer:
 
     def __init__(self, fn: Callable, example_args: Sequence[Any]):
         self._fn = fn
-        self._traces = {}  # shapes-key -> (jaxpr, consts, targets, calib_fn)
-        jaxpr, _, targets, _ = self._trace(example_args)
+        self._traces = {}  # shapes-key -> (jaxpr, targets, calib_fn)
+        self._consts = None  # the fn's closed-over weights, as jit ARGUMENTS
+        jaxpr, targets, _ = self._trace(example_args)
         self._example_args = tuple(example_args)
         self._n_targets = len(targets)
         self._amax = np.zeros(self._n_targets, np.float64)
@@ -221,11 +230,18 @@ class Int8Quantizer:
         specs = [jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype) for a in args]
         closed = jax.make_jaxpr(self._fn)(*specs)
         jaxpr, consts = closed.jaxpr, closed.consts
+        if self._consts is None:
+            # keep ONE device-resident copy; every compiled pass takes these
+            # as runtime arguments, never as program constants — baked consts
+            # ship inside each compile request/executable, which exceeds RPC
+            # compile limits for big models (BASNet's 350 MB of fp32 weights
+            # drew HTTP 413 from the relay) and bloats the program cache.
+            self._consts = [jnp.asarray(c) for c in consts]
         targets = _quantizable_eqns(jaxpr)
         if self._traces:
             n0 = next(iter(self._traces.values()))
-            if len(targets) != len(n0[2]) or [targets[i] for i in sorted(targets)] != [
-                n0[2][i] for i in sorted(n0[2])
+            if len(targets) != len(n0[1]) or [targets[i] for i in sorted(targets)] != [
+                n0[1][i] for i in sorted(n0[1])
             ]:
                 raise ValueError(
                     "input shape changes the set of quantizable equations — "
@@ -233,7 +249,7 @@ class Int8Quantizer:
                 )
 
         # one compiled pass: replay the graph, emit |lhs| maxima as extras
-        def calib(*args_):
+        def calib(consts_, args_):
             obs = {}
 
             def handler(i, eqn, invals):
@@ -241,10 +257,10 @@ class Int8Quantizer:
                     obs[i] = jnp.max(jnp.abs(invals[0].astype(jnp.float32)))
                 return None
 
-            _interpret(jaxpr, consts, args_, handler)
+            _interpret(jaxpr, consts_, args_, handler)
             return [obs[i] for i in sorted(targets)]
 
-        entry = (jaxpr, consts, targets, jax.jit(calib))
+        entry = (jaxpr, targets, jax.jit(calib))
         self._traces[key] = entry
         return entry
 
@@ -255,8 +271,8 @@ class Int8Quantizer:
     def observe(self, *args) -> None:
         """Run one calibration batch; fold its per-equation absmax into the
         running maxima (aligned by position across input shapes)."""
-        _, _, _, calib = self._trace(args)
-        vals = calib(*args)
+        _, _, calib = self._trace(args)
+        vals = calib(self._consts, tuple(args))
         for k, v in enumerate(vals):
             self._amax[k] = max(self._amax[k], float(v))
 
@@ -265,8 +281,11 @@ class Int8Quantizer:
         observed absmax (e.g. 0.99 trims the extreme tail). The returned qfn
         is shape-polymorphic: each distinct input shape re-traces the float
         graph (cached) and replays it with the SAME positional weights and
-        activation scales."""
-        jaxpr, consts, targets, _ = self._trace(self._example_args)
+        activation scales. qfn is already jit-backed, with weights passed as
+        runtime arguments; wrapping it in an OUTER jit re-captures the
+        weights as constants of the outer program — fine for small/medium
+        models, avoid for big ones (see _trace on the RPC-compile limit)."""
+        jaxpr, targets, _ = self._trace(self._example_args)
         if not targets:
             raise ValueError("no quantizable conv/dot equations found")
         if not self._amax.any():
@@ -284,12 +303,12 @@ class Int8Quantizer:
                 )
             return None
 
-        def prep(*args):
-            _interpret(jaxpr, consts, args, capture)
+        def prep(consts_, args):
+            _interpret(jaxpr, consts_, args, capture)
             return [cache[i] for i in sorted(targets)]
 
         dummy = [jnp.zeros(v.aval.shape, v.aval.dtype) for v in jaxpr.invars]
-        packed = jax.jit(prep)(*dummy)
+        packed = jax.jit(prep)(self._consts, tuple(dummy))
         weights = [tuple(p) for p in packed]                      # positional
         act_scale = [
             max(float(a) * clip_ratio / 127.0, 1e-12) for a in self._amax
@@ -306,7 +325,7 @@ class Int8Quantizer:
                 "act_scale": act_scale[k],
             })
 
-        def make_handler(targets_):
+        def make_handler(targets_, weights_):
             pos = {i: k for k, i in enumerate(sorted(targets_))}
 
             def handler(i, eqn, invals):
@@ -314,7 +333,7 @@ class Int8Quantizer:
                 if kind is None:
                     return None
                 out_aval = eqn.outvars[0].aval
-                q_w, s_w = weights[pos[i]]
+                q_w, s_w = weights_[pos[i]]
                 s_x = act_scale[pos[i]]
                 q_x = _quantize_act(invals[0], s_x)
                 out_dim = (_conv_dims(eqn) if kind == "conv" else _dot_dims(eqn))[1]
@@ -328,9 +347,19 @@ class Int8Quantizer:
 
             return handler
 
+        exec_cache = {}  # shapes-key -> jitted replay(consts, weights, args)
+
         def qfn(*args):
-            jaxpr_, consts_, targets_, _ = self._trace(args)
-            outs = _interpret(jaxpr_, consts_, args, make_handler(targets_))
+            jaxpr_, targets_, _ = self._trace(args)
+            key = self._key(args)
+            if key not in exec_cache:
+
+                def replay(consts_, weights_, args_):
+                    return _interpret(
+                        jaxpr_, consts_, args_, make_handler(targets_, weights_))
+
+                exec_cache[key] = jax.jit(replay)
+            outs = exec_cache[key](self._consts, weights, tuple(args))
             return outs[0] if len(outs) == 1 else tuple(outs)
 
         return qfn, report

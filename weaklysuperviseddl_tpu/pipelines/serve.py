@@ -65,7 +65,7 @@ class Predictor:
     compiled program is reused for every call."""
 
     def __init__(self, model, state, size: int = 256, max_batch: int = 16,
-                 clean: bool = False, packed: bool = False):
+                 clean: bool = False, packed: bool = False, mesh=None):
         self.model = model
         self.params = state.params
         self.batch_stats = state.batch_stats
@@ -74,6 +74,17 @@ class Predictor:
         self.clean = clean
         self.packed = packed  # bit-pack masks on device, unpack on host
         self._quantized = None  # set by quantize()
+        self.mesh = mesh  # data-parallel serving: batch sharded on 'data'
+        if mesh is not None:
+            from weaklysuperviseddl_tpu.parallel.mesh import (
+                batch_sharding, replicate_tree)
+
+            n = mesh.shape["data"]
+            assert max_batch % n == 0, (
+                f"max_batch {max_batch} not divisible by data axis {n}")
+            self.params = replicate_tree(mesh, self.params)
+            self.batch_stats = replicate_tree(mesh, self.batch_stats)
+            self._in_sharding = batch_sharding(mesh, ndim=4)
 
     def warmup(self, input_hw: tuple[int, int] | None = None):
         h, w = input_hw or (self.size, self.size)
@@ -110,10 +121,14 @@ class Predictor:
         for i in range(0, imgs.shape[0] - self.max_batch + 1, self.max_batch):
             q.observe(jnp.asarray(imgs[i : i + self.max_batch]))
         qfn, report = q.build(clip_ratio=clip_ratio)
-        self._quantized = jax.jit(qfn)
+        self._quantized = qfn  # already jit-backed, weights as runtime args
         return report
 
     def _dispatch(self, images):
+        if self.mesh is not None:
+            # batch sharded on 'data', params replicated — GSPMD partitions
+            # the whole serving program; each chip runs its batch slice
+            images = jax.device_put(images, self._in_sharding)
         if self._quantized is not None:
             return self._quantized(images)
         return predict_masks(self.model, self.params, self.batch_stats,
