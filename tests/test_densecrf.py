@@ -3,6 +3,7 @@ C++ permutohedral lattice vs the JAX bilateral-grid device path, plus the
 native connected-components twin vs scipy."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 from scipy import ndimage
@@ -72,9 +73,11 @@ def test_jax_attention_matches_brute_force():
     assert agree == 1.0, agree
 
 
-def test_pallas_bilateral_matches_xla():
+@pytest.mark.parametrize("plan", ["vpu", "mxu"])
+def test_pallas_bilateral_matches_xla(plan):
     """The Pallas flash-style kernel (interpret mode off-TPU) vs the plain XLA
-    formulation, including a ragged N that exercises key-block masking."""
+    formulation, including a ragged N that exercises key-block masking.
+    Both exponent plans: fp32 VPU FMAs and the split-bf16 MXU matmul."""
     from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
         gaussian_filter_pallas, gaussian_filter_xla)
     rng = np.random.default_rng(5)
@@ -82,9 +85,42 @@ def test_pallas_bilateral_matches_xla():
     feats = jnp.asarray(rng.uniform(0, 30, (N, 5)).astype(np.float32))
     vals = jnp.asarray(rng.uniform(size=(N, 2)).astype(np.float32))
     ref = np.asarray(gaussian_filter_xla(feats, vals))
-    got = np.asarray(gaussian_filter_pallas(feats, vals, interpret=True))
+    got = np.asarray(gaussian_filter_pallas(feats, vals, interpret=True, plan=plan))
     rel = np.abs(got - ref) / np.abs(ref).clip(1e-9)
     assert rel.mean() < 5e-3, rel.mean()  # bf16 value matmul tolerance
+
+
+def test_split3_encoding_is_exact_bf16_splitting():
+    """Regression for the XLA convert-elision bug: the Dekker split must use
+    lax.reduce_precision, not astype round-trips — under fusion XLA elides
+    bf16→f32 convert pairs and the 'components' silently stay fp32, which
+    makes the single bf16 MXU matmul drop everything below the leading 8
+    mantissa bits (measured O(30) exponent error on v5e). This test pins the
+    contract the kernel relies on: components are exactly bf16-representable,
+    sum back to the input at fp32, and the host-replayed split-dot reproduces
+    the fp32 exponent at reference bilateral magnitudes."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
+        _augment_split, _split3)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.uniform(-1, 1, (256, 5)) * [4.5, 4.5, 51, 51, 51]
+                     ).astype(np.float32))
+    c1, c2, c3 = jax.jit(_split3)(x)
+    for c in (c1, c2, c3):
+        c64 = np.asarray(c, np.float64)
+        assert (c64 == np.asarray(jnp.asarray(c64).astype(jnp.bfloat16),
+                                  np.float64)).all()
+    recon = (np.asarray(c1, np.float64) + np.asarray(c2, np.float64)
+             + np.asarray(c3, np.float64))
+    np.testing.assert_allclose(recon, np.asarray(x, np.float64), atol=2e-6)
+
+    qs, ks = jax.jit(_augment_split)(x)
+    q64 = np.asarray(qs, np.float64)
+    k64 = np.asarray(ks, np.float64)
+    f64 = np.asarray(x, np.float64)
+    sq = -0.5 * (f64 ** 2).sum(1)
+    gold = f64 @ f64.T + sq[:, None] + sq[None, :]
+    err = np.abs(q64 @ k64.T - gold)
+    assert err.max() < 5e-3, err.max()  # the broken split gave ~36
 
 
 def test_exact_filter_fp64_parity_at_reference_magnitudes():
@@ -142,14 +178,17 @@ def test_rff_filter_accurate_only_at_narrow_feature_range():
     reason="regression is only reachable on real Mosaic lowering; interpret "
            "mode and CPU XLA run true-fp32 gemms and cannot reproduce it",
 )
-def test_pallas_exact_on_device_at_reference_magnitudes():
+@pytest.mark.parametrize("plan", ["vpu", "mxu"])
+def test_pallas_exact_on_device_at_reference_magnitudes(plan):
     """On-device regression for the Mosaic bf16-truncation bug: rounds 1-2
     shipped the exponent as a default-precision MXU dot, which truncates fp32
     inputs to bf16 — O(30) absolute exponent error at reference bilateral
     magnitudes, exp() → ~1e13 garbage — while every CPU test (interpret mode,
-    true-fp32 XLA gemms) stayed green. The exponent is now accumulated on the
-    VPU in true fp32; this test pins the kernel to an fp64 golden on the real
-    device."""
+    true-fp32 XLA gemms) stayed green. Both plans are pinned to an fp64
+    golden on the real device: 'vpu' (fp32 broadcast FMAs) and 'mxu' (the
+    split-bf16 single-matmul exponent, which additionally depends on
+    reduce_precision not being elided — see
+    test_split3_encoding_is_exact_bf16_splitting)."""
     from weaklysuperviseddl_tpu.ops.pallas_bilateral import gaussian_filter_pallas
     rng = np.random.default_rng(0)
     S = 48
@@ -164,7 +203,7 @@ def test_pallas_exact_on_device_at_reference_magnitudes():
     d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
     gold = np.exp(-0.5 * d2) @ v
     got = np.asarray(gaussian_filter_pallas(
-        jnp.asarray(feats, jnp.float32), jnp.asarray(v, jnp.float32)))
+        jnp.asarray(feats, jnp.float32), jnp.asarray(v, jnp.float32), plan=plan))
     rel = np.abs(got - gold).max() / np.abs(gold).max()
     assert rel < 5e-3, rel  # bf16 value-matmul floor; the bug gave ~1e13
 

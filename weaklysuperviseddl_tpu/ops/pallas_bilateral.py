@@ -20,22 +20,37 @@ augmented features (aug_q = [f, -½‖f‖², 1], aug_k = [f, 1, -½‖f‖²]);
 the exponent is ≤ 0 no running-max is needed (unlike softmax attention) and
 accumulation over key blocks is a plain sum. exp ≤ 1 and values are
 probability-scaled, so the value matmul runs in bf16 on the MXU with fp32
-accumulation. The exponent is NOT an MXU matmul: it is accumulated on the
-VPU as d+2 broadcast FMAs in true fp32, because Mosaic's default fp32 dot
-truncates inputs to bf16 — which puts O(30) absolute error into an exponent
+accumulation.
+
+The exponent CANNOT be a naive MXU matmul: Mosaic's default fp32 dot
+truncates inputs to bf16, which puts O(30) absolute error into an exponent
 carrying ‖f‖² ≈ 7e3 terms and turns exp() into ~1e13 garbage (shipped that
 way in rounds 1-2; invisible to CPU tests, which run interpret mode / true
-fp32 XLA gemms). See _make_kernel for the measured alternatives.
+fp32 XLA gemms). Two correct plans, both shipped and fp64-pinned on device:
 
-With correct fp32 exponents the kernel is VPU-bound (7 FMAs + exp per kernel
-entry ≈ 14 VPU ops × N² ≈ 3.6e10 ops/call at N=224² → ~9 ms/call ≈ the VPU
-floor), not MXU-bound: the full 5-iteration CRF measures ~60 ms/img, and the
-round-3 "44 ms/img" figure predates the fix (it timed the numerically broken
-kernel). Levers measured and kept: padding mask folded into the augmentation
-(padded keys carry sq = -1e30 so exp underflows to exactly 0), zero pad dims
-skipped in the FMA loop. Levers measured and rejected: precision=HIGHEST MXU
-exponent (3× slower — bf16x6 on a K=8-padded-to-128 matmul), bf16 exp (same
-accuracy, no wall-clock win), larger key blocks (VMEM pressure).
+  * plan="mxu" (default): ONE default-precision bf16 MXU matmul over
+    split-bf16 augmented columns (_augment_split) — each operand is Dekker-
+    split into 3 exactly-representable bf16 components and the 6 column
+    pairs with non-negligible products are laid out explicitly, so the fp32
+    accumulator reconstructs the fp32 exponent (bf16×bf16 products are
+    exact in fp32). Max exponent error 1.4e-4 — BETTER than fp32 FMAs.
+    7.4 ms/filter-call at N=224² ≈ 88% of the structural MXU floor (every
+    kernel entry is produced by one matmul touch and consumed by another:
+    2×N²×128 MACs ≈ 6.5 ms at the measured bf16 rate). exp() is free — a
+    no-exp ablation times identically (it overlaps the MXU).
+  * plan="vpu": d+2 broadcast FMAs in true fp32 on the VPU (the round-3
+    fix). VPU-bound at ~8.5 ms/call; kept as the measured alternative and
+    for feature dims d > 20 (where 6d+6 split columns exceed one lane tile).
+
+Full 5-iteration CRF at 224² reference params: ~45 ms/img (6 filter calls ×
+7.4 ms + sub-ms gauss/softmax updates) — was ~51 ms with plan="vpu".
+Levers measured and kept: padding mask folded into the augmentation (padded
+keys carry sq = -1e30 so exp underflows to exactly 0), zero pad dims skipped
+in the FMA loop. Levers measured and rejected: precision=HIGHEST MXU
+exponent (3× slower — bf16x6 on a K=8-padded-to-128 matmul), bf16/exp2 exp
+variants (exp is already overlapped; no wall-clock change), K=64 column
+packing and CP<128 value lanes (MXU pads to 128 anyway), larger key blocks
+(VMEM pressure).
 """
 
 from __future__ import annotations
@@ -68,6 +83,81 @@ def _augment(feats):
     aug_q = jnp.concatenate([feats, pad, sq, ones], axis=1)
     aug_k = jnp.concatenate([feats, pad, ones, sq], axis=1)
     return aug_q, aug_k
+
+
+_SPLIT_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1))
+_KSPLIT = 128   # split-augmented column count padded to one MXU lane tile
+
+
+def _round_bf16(x):
+    # NOT astype(bf16).astype(f32): XLA's algebraic simplifier elides
+    # convert round-trips under fusion, silently skipping the rounding —
+    # measured on v5e as O(30) exponent error (host replay of the device
+    # columns showed the components were never rounded). reduce_precision
+    # is the guaranteed-rounding primitive.
+    return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+
+
+def _split3(x):
+    """Dekker-style 3-component bf16 split: x ≈ x1+x2+x3 with exactly
+    representable components (|x2| ≤ 2⁻⁹|x|, |x3| ≤ 2⁻¹⁸|x|)."""
+    x1 = _round_bf16(x)
+    x2 = _round_bf16(x - x1)
+    x3 = x - x1 - x2
+    return (x1.astype(jnp.bfloat16), x2.astype(jnp.bfloat16),
+            x3.astype(jnp.bfloat16))
+
+def _augment_split(feats):
+    """[N, d] → bf16 split-augmented (Qs [N, _KSPLIT], Ks [N, _KSPLIT]) such
+    that one default-precision bf16 MXU matmul Qs·Ksᵀ reproduces the fp32
+    exponent -½‖f_i-f_j‖² to ~1e-4 absolute.
+
+    Encoding: each feature dim contributes the 6 column-pairs (a,b) of its
+    3-component splits with a+b ≤ 3 or (a,b)=(2,2) — bf16×bf16 products are
+    exact in the MXU's fp32 accumulator, so the only error is the dropped
+    (2,3)/(3,2)/(3,3) cross terms, ≲2⁻²⁷ relative per dim. The -½‖f‖² terms
+    (magnitude ~7e3 at reference bilateral scales, the terms whose bf16
+    rounding broke the rounds-1/2 kernel) pair their 3 components against an
+    exactly-representable ones column. Measured vs fp64: max exponent error
+    1.4e-4 — BETTER than the VPU fp32 FMA path's 2.4e-4.
+    """
+    N, d = feats.shape
+    ncols = 6 * d + 6
+    if ncols > _KSPLIT:
+        raise ValueError(f"feature dim {d} needs {ncols} > {_KSPLIT} columns")
+    f32 = feats.astype(jnp.float32)
+    comps = _split3(f32)                                  # 3 × [N, d]
+    sq = -0.5 * jnp.sum(f32 * f32, axis=1, keepdims=True)
+    sq_c = _split3(sq)                                    # 3 × [N, 1]
+    ones = jnp.ones((N, 1), jnp.bfloat16)
+    qcols, kcols = [], []
+    for a, b in _SPLIT_PAIRS:
+        qcols.append(comps[a])                            # [N, d] each
+        kcols.append(comps[b])
+    qcols += [sq_c[0], sq_c[1], sq_c[2], ones, ones, ones]
+    kcols += [ones, ones, ones, sq_c[0], sq_c[1], sq_c[2]]
+    pad = jnp.zeros((N, _KSPLIT - ncols), jnp.bfloat16)
+    qs = jnp.concatenate(qcols + [pad], axis=1)
+    ks = jnp.concatenate(kcols + [pad], axis=1)
+    return qs, ks
+
+
+def _kernel_mxu(qs_ref, kts_ref, v_ref, o_ref):
+    """Exponent as ONE bf16 MXU matmul over the split-augmented columns.
+    The VPU then only pays for exp(); measured against the FMA kernel in
+    BASELINE.md (round 3, 'split-bf16 MXU exponent')."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    expo = jnp.dot(qs_ref[:], kts_ref[:], preferred_element_type=jnp.float32)
+    e = jnp.exp(expo)
+    o_ref[:] += jnp.dot(
+        e.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _make_kernel(dims):
@@ -107,35 +197,55 @@ def _make_kernel(dims):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gaussian_filter_pallas(feats, values, interpret: bool = False):
-    """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C]."""
+@functools.partial(jax.jit, static_argnames=("interpret", "plan"))
+def gaussian_filter_pallas(feats, values, interpret: bool = False,
+                           plan: str = "mxu"):
+    """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C].
+
+    plan="mxu" (default): exponent as one bf16 MXU matmul over split-bf16
+    augmented columns (_augment_split) — more accurate than the fp32 VPU
+    FMA form AND ~2× faster (the VPU only pays for exp; BASELINE.md).
+    plan="vpu": the round-3 fp32 broadcast-FMA exponent, kept as the
+    measured alternative and for feature dims d > 20.
+    """
     N, C = values.shape
     d = feats.shape[1]
     if C > _CP:
         raise ValueError(f"C={C} > {_CP}")
     npad_q = (-N) % _BQ
     npad_k = (-N) % _BK
-    aug_q, aug_k = _augment(feats.astype(jnp.float32))
-    aug_q = jnp.pad(aug_q, ((0, npad_q), (0, 0)))
-    # padded key rows get sq = -1e30 (last column): the exponent they induce
-    # is -1e30·1 and exp() underflows to exactly 0, so the kernel needs no
-    # column mask — the padding contributes nothing to the accumulation.
-    kpad = jnp.zeros((npad_k, _DA), jnp.float32).at[:, _DA - 1].set(-1e30)
-    kt = jnp.concatenate([aug_k, kpad], axis=0).T          # [_DA, Nk]
     v = jnp.pad(values.astype(jnp.float32), ((0, npad_k), (0, _CP - C)))
     nq, nk = (N + npad_q) // _BQ, (N + npad_k) // _BK
 
-    # active augmented columns: d features + [ones, sq] — the zero pad
-    # columns between them carry nothing, skip their FMAs
-    dims = tuple(range(d)) + (_DA - 2, _DA - 1)
+    if plan == "mxu":
+        qs, ks = _augment_split(feats)
+        qs = jnp.pad(qs, ((0, npad_q), (0, 0)))
+        # padded key rows: -1e30 in the first sq-component column (paired
+        # with the q-side exact ones) → exponent -1e30, exp() exactly 0
+        kpad = (jnp.zeros((npad_k, _KSPLIT), jnp.bfloat16)
+                .at[:, 6 * d + 3].set(-1e30))
+        kt = jnp.concatenate([ks, kpad], axis=0).T         # [_KSPLIT, Nk]
+        kernel, aug_q, kdim = _kernel_mxu, qs, _KSPLIT
+    else:
+        aug_q, aug_k = _augment(feats.astype(jnp.float32))
+        aug_q = jnp.pad(aug_q, ((0, npad_q), (0, 0)))
+        # padded key rows get sq = -1e30 (last column): the exponent they
+        # induce is -1e30·1 and exp() underflows to exactly 0, so the kernel
+        # needs no column mask
+        kpad = jnp.zeros((npad_k, _DA), jnp.float32).at[:, _DA - 1].set(-1e30)
+        kt = jnp.concatenate([aug_k, kpad], axis=0).T      # [_DA, Nk]
+        # active augmented columns: d features + [ones, sq] — the zero pad
+        # columns between them carry nothing, skip their FMAs
+        dims = tuple(range(d)) + (_DA - 2, _DA - 1)
+        kernel, kdim = _make_kernel(dims), _DA
+
     out = pl.pallas_call(
-        _make_kernel(dims),
+        kernel,
         grid=(nq, nk),
         in_specs=[
-            pl.BlockSpec((_BQ, _DA), lambda i, j: (i, 0),
+            pl.BlockSpec((_BQ, kdim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_DA, _BK), lambda i, j: (0, j),
+            pl.BlockSpec((kdim, _BK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BK, _CP), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -224,8 +334,10 @@ def gaussian_filter_rff(phi, values):
     )
 
 
-def gaussian_filter(feats, values):
+def gaussian_filter(feats, values, plan: str = "auto"):
     """Dispatch: Pallas on TPU, plain XLA elsewhere (CPU tests, tiny N)."""
     if jax.default_backend() == "tpu":
-        return gaussian_filter_pallas(feats, values)
+        if plan == "auto":
+            plan = "mxu" if 6 * feats.shape[1] + 6 <= _KSPLIT else "vpu"
+        return gaussian_filter_pallas(feats, values, plan=plan)
     return gaussian_filter_xla(feats, values)
