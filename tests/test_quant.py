@@ -111,6 +111,25 @@ def test_activation_activation_dot_not_quantized():
     assert rel < 0.05
 
 
+def test_pytree_output_structure_preserved():
+    """qfn must return the SAME output structure as fn (dicts/tuples), not a
+    flat tuple of jaxpr outvars."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(6, 6)).astype(np.float32))
+
+    def fn(x):
+        h = x @ w
+        return {"a": h, "b": (h * 2.0, jnp.sum(h))}
+
+    x = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    qfn, _ = quantize_for_serving(fn, [(x,)])
+    out = qfn(x)
+    assert set(out) == {"a", "b"} and isinstance(out["b"], tuple)
+    ref = fn(x)
+    np.testing.assert_allclose(np.asarray(out["b"][1]),
+                               np.asarray(ref["b"][1]), rtol=0.05)
+
+
 def test_no_calibration_raises():
     fn = _tiny_cnn()
     q = Int8Quantizer(fn, _batches(n=1)[0])

@@ -39,8 +39,10 @@ fp32 XLA gemms). Two correct plans, both shipped and fp64-pinned on device:
     2×N²×128 MACs ≈ 6.5 ms at the measured bf16 rate). exp() is free — a
     no-exp ablation times identically (it overlaps the MXU).
   * plan="vpu": d+2 broadcast FMAs in true fp32 on the VPU (the round-3
-    fix). VPU-bound at ~8.5 ms/call; kept as the measured alternative and
-    for feature dims d > 20 (where 6d+6 split columns exceed one lane tile).
+    fix). VPU-bound at ~8.5 ms/call; kept as the measured alternative.
+    Dim limits: mxu takes d ≤ 20 (6d+6 split columns in one lane tile),
+    vpu d ≤ 6 (_DA=8 augmentation); gaussian_filter routes d > 20 to the
+    exact XLA formulation.
 
 Full 5-iteration CRF at 224² reference params: ~45 ms/img (6 filter calls ×
 7.4 ms + sub-ms gauss/softmax updates) — was ~51 ms with plan="vpu".
@@ -202,11 +204,11 @@ def gaussian_filter_pallas(feats, values, interpret: bool = False,
                            plan: str = "mxu"):
     """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C].
 
-    plan="mxu" (default): exponent as one bf16 MXU matmul over split-bf16
-    augmented columns (_augment_split) — more accurate than the fp32 VPU
-    FMA form AND ~2× faster (the VPU only pays for exp; BASELINE.md).
-    plan="vpu": the round-3 fp32 broadcast-FMA exponent, kept as the
-    measured alternative and for feature dims d > 20.
+    plan="mxu" (default, d ≤ 20): exponent as one bf16 MXU matmul over
+    split-bf16 augmented columns (_augment_split) — more accurate than the
+    fp32 VPU FMA form AND ~15% faster (exp overlaps the MXU; BASELINE.md).
+    plan="vpu" (d ≤ 6): the round-3 fp32 broadcast-FMA exponent, kept as
+    the measured alternative. For d > 20 use gaussian_filter_xla.
     """
     N, C = values.shape
     d = feats.shape[1]
@@ -335,9 +337,13 @@ def gaussian_filter_rff(phi, values):
 
 
 def gaussian_filter(feats, values, plan: str = "auto"):
-    """Dispatch: Pallas on TPU, plain XLA elsewhere (CPU tests, tiny N)."""
-    if jax.default_backend() == "tpu":
+    """Dispatch: Pallas on TPU (mxu plan up to d=20, the split-column limit;
+    the vpu plan's FMA loop caps at d=6), exact XLA everywhere else —
+    including d > 20 on TPU, where neither kernel plan applies."""
+    if jax.default_backend() == "tpu" and (
+        plan != "auto" or 6 * feats.shape[1] + 6 <= _KSPLIT
+    ):
         if plan == "auto":
-            plan = "mxu" if 6 * feats.shape[1] + 6 <= _KSPLIT else "vpu"
+            plan = "mxu"
         return gaussian_filter_pallas(feats, values, plan=plan)
     return gaussian_filter_xla(feats, values)

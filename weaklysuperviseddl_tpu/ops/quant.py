@@ -210,16 +210,22 @@ class Int8Quantizer:
 
     def __init__(self, fn: Callable, example_args: Sequence[Any]):
         self._fn = fn
-        self._traces = {}  # shapes-key -> (jaxpr, targets, calib_fn)
+        self._traces = {}  # shapes-key -> (jaxpr, targets, out_tree, calib_fn)
         self._consts = None  # the fn's closed-over weights, as jit ARGUMENTS
-        jaxpr, targets, _ = self._trace(example_args)
+        jaxpr, targets, _, _ = self._trace(example_args)
         self._example_args = tuple(example_args)
         self._n_targets = len(targets)
         self._amax = np.zeros(self._n_targets, np.float64)
 
     @staticmethod
     def _key(args):
-        return tuple((tuple(np.shape(a)), str(jnp.asarray(a).dtype)) for a in args)
+        # dtype via attribute/np — jnp.asarray here would upload every numpy
+        # arg to the device once per call just to read its dtype
+        def dt(a):
+            d = getattr(a, "dtype", None)
+            return str(d) if d is not None else str(np.asarray(a).dtype)
+
+        return tuple((tuple(np.shape(a)), dt(a)) for a in args)
 
     def _trace(self, args):
         key = self._key(args)
@@ -227,9 +233,10 @@ class Int8Quantizer:
         if hit is not None:
             return hit
         # abstract the args so tracing works from inside a jit as well
-        specs = [jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype) for a in args]
-        closed = jax.make_jaxpr(self._fn)(*specs)
+        specs = [jax.ShapeDtypeStruct(np.shape(a), jnp.result_type(a)) for a in args]
+        closed, out_shape = jax.make_jaxpr(self._fn, return_shape=True)(*specs)
         jaxpr, consts = closed.jaxpr, closed.consts
+        out_tree = jax.tree.structure(out_shape)
         if self._consts is None:
             # keep ONE device-resident copy; every compiled pass takes these
             # as runtime arguments, never as program constants — baked consts
@@ -237,6 +244,14 @@ class Int8Quantizer:
             # compile limits for big models (BASNet's 350 MB of fp32 weights
             # drew HTTP 413 from the relay) and bloats the program cache.
             self._consts = [jnp.asarray(c) for c in consts]
+            self._const_sig = [(np.shape(c), jnp.result_type(c)) for c in consts]
+        elif [(np.shape(c), jnp.result_type(c)) for c in consts] != self._const_sig:
+            # consts are positionally aligned across traces (same fn, same
+            # closure capture order); a count/shape/dtype drift would mis-bind
+            # weights to constvars silently — fail loudly instead
+            raise ValueError(
+                "input shape changes the traced constants — calibrate and "
+                "serve with structurally identical shapes")
         targets = _quantizable_eqns(jaxpr)
         if self._traces:
             n0 = next(iter(self._traces.values()))
@@ -260,7 +275,7 @@ class Int8Quantizer:
             _interpret(jaxpr, consts_, args_, handler)
             return [obs[i] for i in sorted(targets)]
 
-        entry = (jaxpr, targets, jax.jit(calib))
+        entry = (jaxpr, targets, out_tree, jax.jit(calib))
         self._traces[key] = entry
         return entry
 
@@ -271,7 +286,7 @@ class Int8Quantizer:
     def observe(self, *args) -> None:
         """Run one calibration batch; fold its per-equation absmax into the
         running maxima (aligned by position across input shapes)."""
-        _, _, calib = self._trace(args)
+        _, _, _, calib = self._trace(args)
         vals = calib(self._consts, tuple(args))
         for k, v in enumerate(vals):
             self._amax[k] = max(self._amax[k], float(v))
@@ -285,7 +300,7 @@ class Int8Quantizer:
         runtime arguments; wrapping it in an OUTER jit re-captures the
         weights as constants of the outer program — fine for small/medium
         models, avoid for big ones (see _trace on the RPC-compile limit)."""
-        jaxpr, targets, _ = self._trace(self._example_args)
+        jaxpr, targets, _, _ = self._trace(self._example_args)
         if not targets:
             raise ValueError("no quantizable conv/dot equations found")
         if not self._amax.any():
@@ -350,7 +365,7 @@ class Int8Quantizer:
         exec_cache = {}  # shapes-key -> jitted replay(consts, weights, args)
 
         def qfn(*args):
-            jaxpr_, targets_, _ = self._trace(args)
+            jaxpr_, targets_, out_tree_, _ = self._trace(args)
             key = self._key(args)
             if key not in exec_cache:
 
@@ -360,7 +375,7 @@ class Int8Quantizer:
 
                 exec_cache[key] = jax.jit(replay)
             outs = exec_cache[key](self._consts, weights, tuple(args))
-            return outs[0] if len(outs) == 1 else tuple(outs)
+            return jax.tree.unflatten(out_tree_, outs)
 
         return qfn, report
 

@@ -46,11 +46,10 @@ def pack_binary_masks(masks):
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("model", "size", "clean", "pack"))
-def predict_masks(model, params, batch_stats, images_uint8, size: int = 256,
-                  clean: bool = False, pack: bool = False):
-    """[B,h,w,3] uint8 → uint8 {0,1} masks [B,size,size], one dispatch.
-    ``pack=True`` returns [B,size,size//8] bitmaps (pack_binary_masks)."""
+def _serve_forward(model, params, batch_stats, images_uint8, size, clean, pack):
+    """The ONE serving forward body — shared verbatim by the jitted float
+    path (predict_masks) and the quantized rewrite (Predictor.quantize), so
+    the two programs cannot drift."""
     x, _ = preprocess_batch(images_uint8, None, size=size)
     x = _normalize_images(x)
     logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
@@ -58,6 +57,15 @@ def predict_masks(model, params, batch_stats, images_uint8, size: int = 256,
     if clean:
         masks = keep_largest_batch(masks)
     return pack_binary_masks(masks) if pack else masks
+
+
+@partial(jax.jit, static_argnames=("model", "size", "clean", "pack"))
+def predict_masks(model, params, batch_stats, images_uint8, size: int = 256,
+                  clean: bool = False, pack: bool = False):
+    """[B,h,w,3] uint8 → uint8 {0,1} masks [B,size,size], one dispatch.
+    ``pack=True`` returns [B,size,size//8] bitmaps (pack_binary_masks)."""
+    return _serve_forward(model, params, batch_stats, images_uint8, size,
+                          clean, pack)
 
 
 class Predictor:
@@ -73,6 +81,11 @@ class Predictor:
         self.max_batch = max_batch
         self.clean = clean
         self.packed = packed  # bit-pack masks on device, unpack on host
+        if packed:
+            nc = getattr(model, "num_classes", 2)
+            assert nc == 2, (
+                f"packed=True is a BINARY-mask wire format; model has "
+                f"{nc} classes (class ids ≥ 2 cannot round-trip a bitmap)")
         self._quantized = None  # set by quantize()
         self.mesh = mesh  # data-parallel serving: batch sharded on 'data'
         if mesh is not None:
@@ -101,24 +114,22 @@ class Predictor:
         from weaklysuperviseddl_tpu.ops.quant import Int8Quantizer
 
         imgs = np.asarray(calibration_images)
-        if imgs.shape[0] < self.max_batch:
-            imgs = np.concatenate(
-                [imgs] * -(-self.max_batch // imgs.shape[0]))[: self.max_batch]
+        n = imgs.shape[0]
+        total = -(-n // self.max_batch) * self.max_batch
+        if total != n:
+            # pad the ragged tail window by tiling so every calibration image
+            # is observed (a silent drop would calibrate on a subset)
+            imgs = np.concatenate([imgs] * -(-total // n))[:total]
 
         def fn(images_uint8):
-            x, _ = preprocess_batch(images_uint8, None, size=self.size)
-            x = _normalize_images(x)
-            logits = self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                x, train=False)
-            masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-            if self.clean:
-                masks = keep_largest_batch(masks)
-            return pack_binary_masks(masks) if self.packed else masks
+            # the SAME body as predict_masks — via the shared helper
+            return _serve_forward(self.model, self.params, self.batch_stats,
+                                  images_uint8, self.size, self.clean,
+                                  self.packed)
 
         example = (jnp.asarray(imgs[: self.max_batch]),)
         q = Int8Quantizer(fn, example)
-        for i in range(0, imgs.shape[0] - self.max_batch + 1, self.max_batch):
+        for i in range(0, imgs.shape[0], self.max_batch):
             q.observe(jnp.asarray(imgs[i : i + self.max_batch]))
         qfn, report = q.build(clip_ratio=clip_ratio)
         self._quantized = qfn  # already jit-backed, weights as runtime args
