@@ -111,6 +111,27 @@ def test_activation_activation_dot_not_quantized():
     assert rel < 0.05
 
 
+def test_nchw_conv_layout_quantized_correctly():
+    """The pass reads output-channel dims from dimension_numbers, so torch-
+    style NCHW/OIHW graphs must quantize as correctly as flax NHWC/HWIO."""
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(8, 3, 3, 3)).astype(np.float32))  # OIHW
+    w = w * jnp.asarray(np.logspace(-1, 1, 8, dtype=np.float32)).reshape(8, 1, 1, 1)
+
+    def fn(x):  # x: NCHW
+        h = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return jax.nn.relu(h)
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 8)).astype(np.float32))
+    qfn, report = quantize_for_serving(fn, [(x,)])
+    assert len(report.rows) == 1 and report.rows[0]["kind"] == "conv"
+    ref, got = np.asarray(fn(x)), np.asarray(qfn(x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_pytree_output_structure_preserved():
     """qfn must return the SAME output structure as fn (dicts/tuples), not a
     flat tuple of jaxpr outvars."""
