@@ -137,6 +137,13 @@ def train_basnet(
     multiple of ``batch_size`` (pad upstream; this is a demo/validation
     trainer, not the reference path — the reference has no BASNet trainer).
 
+    Deliberately NOT chunked-dispatch (unlike train/segmentation.py): losses
+    are only read back at epoch end, so JAX async dispatch already hides the
+    per-step relay round trips behind the ~200 ms step — a K=4 scanned-chunk
+    variant measured flat (39.1 vs 38.1 img/s marginal epoch, fp32 256²
+    batch 8 on v5e). The seg trainer needed chunking because its steps are
+    ~26 ms against a ~25 ms dispatch floor.
+
     The paper's Adam(1e-3) assumes the pretrained-ResNet encoder init; from
     a RANDOM init that rate diverges (measured: fused loss climbs 18→36 over
     60 epochs). For from-scratch runs pass ``clip_norm`` (global-norm grad
