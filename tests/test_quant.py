@@ -158,6 +158,50 @@ def test_no_calibration_raises():
         q.build()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_quant_fuzz_random_graphs(seed):
+    """Property test: random conv/dense/elementwise chains quantize with the
+    expected target count and bounded error, regardless of topology."""
+    rng = np.random.default_rng(seed)
+    n_layers = int(rng.integers(2, 5))
+    ch = [3] + [int(rng.integers(2, 10)) for _ in range(n_layers)]
+    weights, kinds = [], []
+    for i in range(n_layers):
+        # fan-in normalized so activations stay O(1): unnormalized random
+        # chains blow up the per-tensor activation scale and the test would
+        # measure int8's (expected) coarseness on pathological ranges rather
+        # than the pass's structural correctness
+        if rng.random() < 0.5:
+            w = rng.normal(size=(3, 3, ch[i], ch[i + 1])) / np.sqrt(9 * ch[i])
+            weights.append(jnp.asarray(w.astype(np.float32)))
+            kinds.append("conv")
+        else:
+            w = rng.normal(size=(ch[i], ch[i + 1])) / np.sqrt(ch[i])
+            weights.append(jnp.asarray(w.astype(np.float32)))
+            kinds.append("dot")
+
+    def fn(x):
+        h = x
+        for w, kind in zip(weights, kinds):
+            if kind == "conv":
+                h = jax.lax.conv_general_dilated(
+                    h, w, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            else:
+                h = jnp.einsum("bhwc,cd->bhwd", h, w)
+            h = jax.nn.relu(h) if kind == "conv" else jnp.tanh(h)
+        return h
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    qfn, report = quantize_for_serving(fn, [(x,)])
+    # einsum lowers to dot_general with the weight on the rhs — every layer
+    # must be rewritten
+    assert len(report.rows) == n_layers, (kinds, report.rows)
+    ref, got = np.asarray(fn(x)), np.asarray(qfn(x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.15, (kinds, rel)
+
+
 def test_deeplab_serving_quality_after_quantization():
     """End-to-end: train a small DeepLabV3 on synthetic data, quantize the
     serving forward, and require near-perfect mask agreement with fp32."""
