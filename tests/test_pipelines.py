@@ -180,6 +180,60 @@ def test_serving_data_parallel_mesh_matches_single_device():
     np.testing.assert_array_equal(dp8(imgs), q_ref(imgs))
 
 
+def test_mask_server_http_round_trip():
+    """MaskServer: concurrent POSTs coalesce into batched dispatches and
+    return exactly the Predictor's masks; malformed bodies get 400."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    pred = Predictor(model, state, size=48, max_batch=4).warmup()
+    server = pred.serve_http(max_wait_ms=30.0)
+    try:
+        url = f"http://127.0.0.1:{server.port}/predict"
+        rng = np.random.default_rng(5)
+        imgs = (rng.uniform(0, 1, (6, 48, 48, 3)) * 255).astype(np.uint8)
+        want = np.concatenate([pred(imgs[:4]), pred(imgs[4:])])
+
+        results = [None] * len(imgs)
+
+        def post(i):
+            buf = io.BytesIO()
+            np.save(buf, imgs[i])
+            with urllib.request.urlopen(
+                    urllib.request.Request(url, data=buf.getvalue(),
+                                           method="POST"), timeout=30) as r:
+                results[i] = np.load(io.BytesIO(r.read()), allow_pickle=False)
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(len(imgs)):
+            np.testing.assert_array_equal(results[i], want[i])
+
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(url, data=b"not an npy",
+                                       method="POST"), timeout=30)
+            raise AssertionError("malformed body must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.stop()
+
+
 def test_pseudo_mask_generation_dispatch_invariance():
     """The device-resident generate_pseudo_masks must produce identical
     stores regardless of batches_per_dispatch grouping, and respect the

@@ -95,7 +95,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="weaklysuperviseddl_tpu")
     parser.add_argument("command", choices=[
         "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun",
-        "bench", "parity",
+        "bench", "parity", "serve",
     ], help="pipeline to run; 'parity' is dispatched before this parser to "
             "scripts/parity_harness.py (source checkout only) and owns its "
             "own flags — see that script's --help")
@@ -103,6 +103,15 @@ def main(argv=None):
     parser.add_argument("--weights", default="./Weights/basnet.pth")
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--num-images", type=int, default=10)
+    parser.add_argument("--checkpoint", default=None,
+                        help="serve: orbax dir saved by utils.checkpoint."
+                             "save_state({'params':…, 'batch_stats':…}); "
+                             "random init if omitted")
+    parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--max-batch", type=int, default=16)
+    parser.add_argument("--packed", action="store_true",
+                        help="serve: bit-packed device→host mask readback")
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "weakly":
@@ -157,6 +166,59 @@ def main(argv=None):
         import bench
 
         bench.main()
+    elif args.command == "serve":
+        import types
+
+        import jax
+
+        from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+        from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+        from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+        from weaklysuperviseddl_tpu.utils.checkpoint import restore_state
+
+        size = 48 if args.smoke else args.size
+        model = DeepLabV3(
+            num_classes=2,
+            backbone_depth=18 if args.smoke else 50,
+            width_multiplier=0.25 if args.smoke else 1.0,
+        )
+        state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=size)
+        if args.checkpoint:
+            tpl = {"params": state.params, "batch_stats": state.batch_stats}
+            restored = restore_state(args.checkpoint, tpl)
+            state = types.SimpleNamespace(
+                params=restored["params"], batch_stats=restored["batch_stats"])
+        pred = Predictor(model, state, size=size,
+                         max_batch=2 if args.smoke else args.max_batch,
+                         packed=args.packed).warmup()
+        server = pred.serve_http(port=0 if args.smoke else args.port)
+        print(f"serving uint8 [h,w,3] → {size}² masks on "
+              f"http://127.0.0.1:{server.port}/predict (np.save bodies)")
+        if args.smoke:
+            # self-request round trip, then exit — the driveable smoke path
+            import io
+            import urllib.request
+
+            import numpy as np
+
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((size, size, 3), np.uint8))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/predict",
+                data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                mask = np.load(io.BytesIO(r.read()), allow_pickle=False)
+            server.stop()
+            print(f"smoke round trip OK: mask {mask.shape} "
+                  f"values {sorted(set(np.unique(mask)))}")
+        else:  # pragma: no cover - long-running server
+            try:
+                while True:
+                    import time
+
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                server.stop()
     return 0
 
 

@@ -160,6 +160,14 @@ class Predictor:
             images = np.concatenate([images, pad])
         return self._to_host(self._dispatch(jnp.asarray(images)))[:n]
 
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0,
+                   max_wait_ms: float = 5.0) -> "MaskServer":
+        """Start an HTTP front for this predictor (returns a started
+        MaskServer; .port, .stop()). See MaskServer for the protocol."""
+        server = MaskServer(self, host=host, port=port, max_wait_ms=max_wait_ms)
+        server.start()
+        return server
+
     def predict_many(self, images: np.ndarray, in_flight: int = 4) -> np.ndarray:
         """Throughput path for [N,h,w,3] uint8, N unbounded: split into
         ``max_batch`` chunks and keep up to ``in_flight`` dispatches pending
@@ -195,3 +203,136 @@ class Predictor:
         while pending:
             drain_one()
         return out
+
+
+class MaskServer:
+    """Minimal production-style HTTP front with dynamic micro-batching.
+
+    Protocol (binary, dependency-free): POST /predict with an ``np.save``-
+    serialized uint8 [h,w,3] image body → 200 with an ``np.save``-serialized
+    uint8 {0,1} [size,size] mask body. Malformed bodies get 400.
+
+    Requests arriving within ``max_wait_ms`` of each other coalesce into one
+    device dispatch (up to ``predictor.max_batch`` — the compiled program is
+    fixed-batch, so coalescing is free until the pad fills with real work).
+    Same-shape requests batch together; mixed shapes are dispatched as
+    separate groups in arrival order. One worker thread owns the device, so
+    TPU dispatch stays single-threaded while the ThreadingHTTPServer handles
+    socket concurrency.
+
+    The reference has no serving story; this is the deployment-shaped lid on
+    the Predictor stack (static-shape program + int8 PTQ + packed readback +
+    dp mesh), sized for tests and single-host use — production fleets would
+    front it with a real RPC layer, but the batching/device discipline is
+    exactly this.
+    """
+
+    def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
+                 port: int = 0, max_wait_ms: float = 5.0):
+        self.predictor = predictor
+        self.host = host
+        self._port = port
+        self.max_wait_ms = max_wait_ms
+        self._server = None
+        self._threads = []
+        self._queue = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self):
+        import io
+        import queue
+        import threading
+        import time
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        pred = self.predictor
+        q = self._queue = queue.Queue()
+        max_wait_s = self.max_wait_ms / 1e3
+
+        class _Job:
+            __slots__ = ("img", "event", "result", "error")
+
+            def __init__(self, img):
+                self.img = img
+                self.event = threading.Event()
+                self.result = None
+                self.error = None
+
+        def worker():
+            while True:
+                job = q.get()
+                if job is None:
+                    return
+                batch = [job]
+                deadline = time.monotonic() + max_wait_s
+                while len(batch) < pred.max_batch:
+                    try:
+                        nxt = q.get(timeout=max(0.0, deadline - time.monotonic()))
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        q.put(None)
+                        break
+                    batch.append(nxt)
+                # same-shape groups dispatch together (the compiled program
+                # is per-input-shape); groups run in arrival order
+                groups = {}
+                for b in batch:
+                    groups.setdefault(b.img.shape, []).append(b)
+                for jobs in groups.values():
+                    for s in range(0, len(jobs), pred.max_batch):
+                        chunk = jobs[s : s + pred.max_batch]
+                        try:
+                            masks = pred(np.stack([b.img for b in chunk]))
+                            for b, m in zip(chunk, masks):
+                                b.result = m
+                        except Exception as e:  # surface as 500, keep serving
+                            for b in chunk:
+                                b.error = e
+                        for b in chunk:
+                            b.event.set()
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    img = np.load(io.BytesIO(self.rfile.read(n)),
+                                  allow_pickle=False)
+                    assert img.ndim == 3 and img.shape[-1] == 3, img.shape
+                    assert img.dtype == np.uint8, img.dtype
+                except Exception:
+                    self.send_error(400, "body must be np.save of uint8 [h,w,3]")
+                    return
+                job = _Job(img)
+                q.put(job)
+                job.event.wait()
+                if job.error is not None:
+                    self.send_error(500, str(job.error))
+                    return
+                buf = io.BytesIO()
+                np.save(buf, job.result)
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet: the server is a library
+                pass
+
+        self._server = ThreadingHTTPServer((self.host, self._port), Handler)
+        for target in (worker, self._server.serve_forever):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
