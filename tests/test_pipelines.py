@@ -43,6 +43,61 @@ def test_alternating_pipeline_end_to_end(tmp_path):
     assert any("completed" in s for s in logs)
 
 
+def test_alternating_resume_matches_uninterrupted_run(tmp_path):
+    """Killing the run after alternation 0 and resuming from its snapshot
+    must reproduce the uninterrupted 2-alternation run exactly: the snapshot
+    restores params, BN stats, optimizer state, AND the mask store, and every
+    program in the continuation sees identical inputs."""
+    import dataclasses
+
+    import jax
+
+    from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised_alternating
+    from weaklysuperviseddl_tpu.utils.checkpoint import latest_alternation
+
+    def cfg_with(num_alternations):
+        cfg = smoke_config()
+        return dataclasses.replace(
+            cfg, alternating=dataclasses.replace(
+                cfg.alternating, num_alternations=num_alternations))
+
+    # uninterrupted: 2 alternations straight through
+    full = run_weakly_supervised_alternating(
+        cfg_with(2), checkpoint_dir=str(tmp_path / "full"), log=lambda s: None)
+
+    # interrupted: 1 alternation, then a fresh process-equivalent resume
+    dir_b = str(tmp_path / "interrupted")
+    run_weakly_supervised_alternating(cfg_with(1), checkpoint_dir=dir_b,
+                                      log=lambda s: None)
+    assert latest_alternation(dir_b) == 0
+    logs = []
+    resumed = run_weakly_supervised_alternating(
+        cfg_with(2), checkpoint_dir=dir_b, resume=True, log=logs.append)
+    assert any("Resumed" in s for s in logs)
+    assert latest_alternation(dir_b) == 1
+
+    _, masks_full, keys_full = full.mask_store.as_arrays()
+    _, masks_res, keys_res = resumed.mask_store.as_arrays()
+    assert keys_full == keys_res
+    np.testing.assert_array_equal(masks_full, masks_res)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        full.seg_state.params, resumed.seg_state.params)
+    assert resumed.metrics["alt_iou"] == full.metrics["alt_iou"]
+
+
+def test_restore_alternation_missing_raises(tmp_path):
+    import pytest
+
+    from weaklysuperviseddl_tpu.utils.checkpoint import (
+        latest_alternation, restore_alternation,
+    )
+
+    assert latest_alternation(str(tmp_path)) is None
+    with pytest.raises(FileNotFoundError):
+        restore_alternation(str(tmp_path), state=None)
+
+
 def test_prefetch_preserves_order():
     from weaklysuperviseddl_tpu.data.loader import prefetch
 

@@ -112,12 +112,30 @@ def main(argv=None):
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--packed", action="store_true",
                         help="serve: bit-packed device→host mask readback")
+    parser.add_argument("--alternating", action="store_true",
+                        help="weakly: run the full alternating train↔refine "
+                             "loop after the initial cycle")
+    parser.add_argument("--checkpoint-dir", default=None,
+                        help="weakly --alternating: per-alternation snapshot "
+                             "dir (full train state + versioned mask store)")
+    parser.add_argument("--resume", action="store_true",
+                        help="weakly --alternating: restore the latest "
+                             "snapshot in --checkpoint-dir and continue")
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "weakly":
-        from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised
+        if args.alternating or args.resume:
+            from weaklysuperviseddl_tpu.pipelines import (
+                run_weakly_supervised_alternating,
+            )
 
-        result = run_weakly_supervised(_base_cfg(args, extra))
+            result = run_weakly_supervised_alternating(
+                _base_cfg(args, extra), checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume)
+        else:
+            from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised
+
+            result = run_weakly_supervised(_base_cfg(args, extra))
         print(json.dumps(result.metrics))
     elif args.command == "supervised":
         from weaklysuperviseddl_tpu.pipelines import run_supervised_training

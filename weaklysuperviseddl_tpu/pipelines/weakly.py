@@ -141,17 +141,57 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print) -> WeaklySupervisedR
 
 
 def run_weakly_supervised_alternating(
-    cfg: ExperimentConfig, checkpoint_dir: str | None = None, log=print
+    cfg: ExperimentConfig, checkpoint_dir: str | None = None,
+    resume: bool = False, log=print,
 ) -> WeaklySupervisedResult:
     """The full north-star path (reference script body,
     AlternatingDirectionCutLoss.py:468-821): the weakly-supervised cycle above
     followed by the alternating train ↔ refine loop over the pseudo-mask
-    store, with per-alternation eval — every hot loop compiled and batched."""
-    from weaklysuperviseddl_tpu.train.alternating import run_alternating_training
+    store, with per-alternation eval — every hot loop compiled and batched.
 
-    result = run_weakly_supervised(cfg, log=log)
-    seg_model, tx, test_ds = result._seg_model, result._tx, result._test_ds
+    With ``resume=True`` and a ``checkpoint_dir`` holding per-alternation
+    snapshots, the expensive prefix (classifier training, CAM extraction,
+    pseudo-mask generation, initial segmentation training) is skipped: the
+    full train state + mask store restore from the latest snapshot and the
+    loop continues at the next alternation — bit-equivalent to never having
+    stopped (tests/test_pipelines.py). The reference cannot resume at all
+    (weights-only torch.save, SURVEY.md §5).
+    """
+    from weaklysuperviseddl_tpu.train.alternating import run_alternating_training
+    from weaklysuperviseddl_tpu.utils.checkpoint import (
+        latest_alternation,
+        restore_alternation,
+    )
+
     d = cfg.data
+    start_iteration = 0
+    if resume and checkpoint_dir is not None and (
+            latest_alternation(checkpoint_dir) is not None):
+        # rebuild model/optimizer shells (no training), restore the snapshot
+        seg_model = DeepLabV3(
+            num_classes=cfg.seg.num_classes,
+            backbone_depth=cfg.seg.backbone_depth,
+            width_multiplier=cfg.seg.width_multiplier,
+            dtype=jnp.dtype(cfg.seg.dtype),
+        )
+        from weaklysuperviseddl_tpu.parallel.mesh import mesh_from_config as _mfc
+
+        seg_state, tx = create_seg_state(
+            seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size,
+            lr=cfg.seg.lr, mesh=_mfc(cfg.mesh),
+        )
+        seg_state, store, start_iteration = restore_alternation(
+            checkpoint_dir, seg_state)
+        test_ds = download_data(
+            d.root, split="test", synthetic_size=max(16, d.synthetic_size // 4),
+            image_size=d.image_size, seed=d.seed, num_classes=d.num_classes,
+        )
+        log(f"Resumed from {checkpoint_dir} at alternation {start_iteration}")
+        result = WeaklySupervisedResult(None, seg_state, store, {})
+        result._seg_model, result._tx, result._test_ds = seg_model, tx, test_ds
+    else:
+        result = run_weakly_supervised(cfg, log=log)
+    seg_model, tx, test_ds = result._seg_model, result._tx, result._test_ds
 
     def eval_fn(state):
         return evaluate_segmentation(
@@ -164,6 +204,7 @@ def run_weakly_supervised_alternating(
     state, store = run_alternating_training(
         seg_model, result.seg_state, tx, result.mask_store, cfg,
         eval_fn=eval_fn, checkpoint_dir=checkpoint_dir,
+        start_iteration=start_iteration,
         mesh=mesh_from_config(cfg.mesh), log=log,
     )
     iou, acc = eval_fn(state)

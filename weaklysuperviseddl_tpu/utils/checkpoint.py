@@ -77,6 +77,48 @@ def load_seg_state(state, tree):
     return state
 
 
+def latest_alternation(root: str) -> int | None:
+    """Highest alternation index with a restorable snapshot under ``root``
+    (dirs written by save_alternation), or None if there is none."""
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for name in os.listdir(root):
+        if not name.startswith("alt_"):
+            continue
+        try:
+            i = int(name[4:])
+        except ValueError:
+            continue
+        state_path = os.path.join(root, name, "state")
+        if os.path.isdir(state_path) or os.path.exists(state_path + ".pkl"):
+            best = i if best is None else max(best, i)
+    return best
+
+
+def restore_alternation(root: str, state, iteration: int | None = None):
+    """Inverse of save_alternation — first-class resume for the alternating
+    loop (the reference has no resume at all: weights-only torch.save,
+    SURVEY.md §5). Restores the FULL train state (params, BN stats, optimizer
+    state, step) and the versioned mask snapshot of ``iteration`` (default:
+    latest) into ``state`` / a fresh in-memory MaskStore.
+
+    Returns ``(state, store, next_iteration)`` — feed ``next_iteration`` to
+    run_alternating_training(start_iteration=...) to continue the run.
+    """
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore
+
+    if iteration is None:
+        iteration = latest_alternation(root)
+        if iteration is None:
+            raise FileNotFoundError(f"no alternation snapshots under {root}")
+    alt_dir = os.path.join(os.path.abspath(root), f"alt_{iteration:03d}")
+    tree = restore_state(os.path.join(alt_dir, "state"), seg_state_tree(state))
+    state = load_seg_state(state, tree)
+    store = MaskStore.load(os.path.join(alt_dir, "masks"))
+    return state, store, iteration + 1
+
+
 def save_alternation(root: str, iteration: int, state, store) -> str:
     """Durable alternating-loop snapshot: train state + versioned mask dir
     (the reference's file-mediated pipeline state, made explicit)."""
