@@ -109,6 +109,99 @@ def test_save_alternation_snapshot(tmp_path):
     assert os.path.exists(os.path.join(alt_dir, "masks", "pseudo_masks", "0000.png"))
 
 
+def _tiny_seg_state():
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    return state
+
+
+def test_save_alternation_crash_atomic(tmp_path, monkeypatch):
+    """A crash mid-checkpoint must never leave a snapshot that
+    latest_alternation considers restorable (ADVICE r3 medium)."""
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore
+    from weaklysuperviseddl_tpu.utils.checkpoint import (
+        latest_alternation,
+        save_alternation,
+    )
+
+    state = _tiny_seg_state()
+    store = MaskStore()
+    store.put("0000", np.zeros((16, 16, 3), np.uint8), np.ones((16, 16), np.uint8))
+
+    def boom(self):
+        raise RuntimeError("simulated crash during mask flush")
+
+    monkeypatch.setattr(MaskStore, "flush", boom)
+    with pytest.raises(RuntimeError):
+        save_alternation(str(tmp_path), 0, state, store)
+    # the partial snapshot is invisible: only the .tmp staging dir exists
+    assert not os.path.exists(os.path.join(str(tmp_path), "alt_000"))
+    assert latest_alternation(str(tmp_path)) is None
+
+    monkeypatch.undo()
+    alt_dir = save_alternation(str(tmp_path), 0, state, store)
+    assert os.path.isdir(alt_dir)
+    assert not os.path.exists(alt_dir + ".tmp")  # staging dir reclaimed
+    assert latest_alternation(str(tmp_path)) == 0
+
+
+def test_resume_requires_checkpoints(tmp_path):
+    """resume=True must fail loudly instead of silently re-running the full
+    expensive prefix (ADVICE r3)."""
+    from weaklysuperviseddl_tpu.config import smoke_config
+    from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised_alternating
+
+    cfg = smoke_config()
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        run_weakly_supervised_alternating(cfg, resume=True)
+    with pytest.raises(FileNotFoundError, match="no restorable"):
+        run_weakly_supervised_alternating(
+            cfg, checkpoint_dir=str(tmp_path), resume=True)
+
+
+def test_restore_unpadded_alt_dir(tmp_path):
+    """A hand-made unpadded alt_7 dir must restore, not be reported as latest
+    and then fail on the re-formatted alt_007 path (ADVICE r3)."""
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore
+    from weaklysuperviseddl_tpu.utils.checkpoint import (
+        latest_alternation,
+        restore_alternation,
+        save_alternation,
+    )
+
+    state = _tiny_seg_state()
+    store = MaskStore()
+    store.put("0000", np.zeros((16, 16, 3), np.uint8), np.ones((16, 16), np.uint8))
+    save_alternation(str(tmp_path), 7, state, store)
+    os.rename(os.path.join(str(tmp_path), "alt_007"),
+              os.path.join(str(tmp_path), "alt_7"))
+    assert latest_alternation(str(tmp_path)) == 7
+    _, restored_store, next_it = restore_alternation(str(tmp_path), state)
+    assert next_it == 8
+    assert len(restored_store) == 1
+
+
+def test_pickle_restore_validates_tree_structure(tmp_path, monkeypatch):
+    """The no-orbax pickle path must reject a checkpoint whose tree structure
+    doesn't match the current config's template (ADVICE r3)."""
+    from weaklysuperviseddl_tpu.utils import checkpoint as ckpt
+
+    monkeypatch.setattr(ckpt, "_HAS_ORBAX", False)
+    path = str(tmp_path / "state")
+    ckpt.save_state(path, {"a": np.zeros(3), "b": {"c": np.ones(2)}})
+    # matching template restores fine
+    tree = ckpt.restore_state(path, {"a": np.zeros(3), "b": {"c": np.zeros(2)}})
+    np.testing.assert_array_equal(tree["b"]["c"], np.ones(2))
+    with pytest.raises(ValueError, match="different tree structure"):
+        ckpt.restore_state(path, {"a": np.zeros(3), "b": {"DIFFERENT": 0}})
+    # an orbax-written dir must not be reported restorable without orbax
+    os.makedirs(str(tmp_path / "alt_001" / "state"))
+    assert ckpt.latest_alternation(str(tmp_path)) is None
+
+
 def test_stopwatch_and_phase():
     from weaklysuperviseddl_tpu.utils.profiling import Stopwatch, phase
 

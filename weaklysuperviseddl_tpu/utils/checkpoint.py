@@ -56,7 +56,20 @@ def restore_state(path: str, template_tree):
     import pickle
 
     with open(path + ".pkl", "rb") as f:
-        return pickle.load(f)
+        tree = pickle.load(f)
+    # The pickle path has no orbax template validation; check the tree
+    # structure explicitly so resuming with a changed config (different
+    # backbone depth, optimizer, ...) fails loudly instead of loading an
+    # incompatible tree.
+    want = jax.tree.structure(template_tree)
+    got = jax.tree.structure(tree)
+    if want != got:
+        raise ValueError(
+            f"checkpoint at {path}.pkl has a different tree structure than the "
+            f"current config expects (saved {got}, expected {want}); resume "
+            "with the same model/optimizer config it was saved under"
+        )
+    return tree
 
 
 def seg_state_tree(state):
@@ -77,12 +90,16 @@ def load_seg_state(state, tree):
     return state
 
 
-def latest_alternation(root: str) -> int | None:
-    """Highest alternation index with a restorable snapshot under ``root``
-    (dirs written by save_alternation), or None if there is none."""
+def _alternation_dirs(root: str) -> dict[int, str]:
+    """Map alternation index → snapshot dir name for every RESTORABLE
+    snapshot under ``root``. A snapshot is restorable only if its state is
+    readable by the backend we actually have (orbax dir only counts when
+    orbax is importable; the pickle fallback only counts when state.pkl
+    exists) — otherwise latest_alternation would report a snapshot that
+    restore_state then fails on with a confusing FileNotFoundError."""
+    found: dict[int, str] = {}
     if not os.path.isdir(root):
-        return None
-    best = None
+        return found
     for name in os.listdir(root):
         if not name.startswith("alt_"):
             continue
@@ -91,9 +108,20 @@ def latest_alternation(root: str) -> int | None:
         except ValueError:
             continue
         state_path = os.path.join(root, name, "state")
-        if os.path.isdir(state_path) or os.path.exists(state_path + ".pkl"):
-            best = i if best is None else max(best, i)
-    return best
+        ok = (_HAS_ORBAX and os.path.isdir(state_path)) or os.path.exists(
+            state_path + ".pkl"
+        )
+        # keep the zero-padded canonical name if both alt_7 and alt_007 exist
+        if ok and (i not in found or len(name) > len(found[i])):
+            found[i] = name
+    return found
+
+
+def latest_alternation(root: str) -> int | None:
+    """Highest alternation index with a restorable snapshot under ``root``
+    (dirs written by save_alternation), or None if there is none."""
+    found = _alternation_dirs(root)
+    return max(found) if found else None
 
 
 def restore_alternation(root: str, state, iteration: int | None = None):
@@ -108,11 +136,15 @@ def restore_alternation(root: str, state, iteration: int | None = None):
     """
     from weaklysuperviseddl_tpu.data.mask_store import MaskStore
 
+    found = _alternation_dirs(root)
     if iteration is None:
-        iteration = latest_alternation(root)
-        if iteration is None:
+        if not found:
             raise FileNotFoundError(f"no alternation snapshots under {root}")
-    alt_dir = os.path.join(os.path.abspath(root), f"alt_{iteration:03d}")
+        iteration = max(found)
+    # Reuse the directory name actually on disk (handles hand-made unpadded
+    # names like alt_7 as well as the canonical alt_007).
+    name = found.get(iteration, f"alt_{iteration:03d}")
+    alt_dir = os.path.join(os.path.abspath(root), name)
     tree = restore_state(os.path.join(alt_dir, "state"), seg_state_tree(state))
     state = load_seg_state(state, tree)
     store = MaskStore.load(os.path.join(alt_dir, "masks"))
@@ -121,15 +153,42 @@ def restore_alternation(root: str, state, iteration: int | None = None):
 
 def save_alternation(root: str, iteration: int, state, store) -> str:
     """Durable alternating-loop snapshot: train state + versioned mask dir
-    (the reference's file-mediated pipeline state, made explicit)."""
-    alt_dir = os.path.join(os.path.abspath(root), f"alt_{iteration:03d}")
-    os.makedirs(alt_dir, exist_ok=True)
-    save_state(os.path.join(alt_dir, "state"), seg_state_tree(state))
+    (the reference's file-mediated pipeline state, made explicit).
+
+    Crash-atomic: everything is written into a ``.tmp`` staging dir and only
+    os.rename()d to ``alt_NNN`` once the state AND every mask PNG are flushed,
+    so a kill mid-checkpoint can never leave a snapshot that
+    latest_alternation considers restorable but whose mask set is truncated.
+    """
+    import shutil
+
+    root = os.path.abspath(root)
+    alt_dir = os.path.join(root, f"alt_{iteration:03d}")
+    tmp_dir = alt_dir + ".tmp"
+    if os.path.exists(tmp_dir):  # leftover from a previous crash
+        # Drain the async PNG queue before deleting: in-flight writes into
+        # the leftover dir would fail mid-rmtree, and any failures already
+        # recorded belong to the aborted snapshot, not the one about to be
+        # written — they must not poison this snapshot's durability barrier.
+        from weaklysuperviseddl_tpu.data.mask_store import _native_io
+
+        nat = _native_io()
+        if nat is not None:
+            try:
+                nat.io_flush()
+            except OSError:
+                pass  # aborted-snapshot write failures are expected here
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    save_state(os.path.join(tmp_dir, "state"), seg_state_tree(state))
     from weaklysuperviseddl_tpu.data.mask_store import MaskStore
 
-    snapshot = MaskStore(directory=os.path.join(alt_dir, "masks"))
+    snapshot = MaskStore(directory=os.path.join(tmp_dir, "masks"))
     for key in store.keys():
         image, mask = store.get(key)
         snapshot.put(key, image, mask)
-    snapshot.flush()  # the snapshot dir must be durable when this returns
+    snapshot.flush()  # the snapshot dir must be durable before the rename
+    if os.path.exists(alt_dir):  # re-checkpoint of the same iteration
+        shutil.rmtree(alt_dir)
+    os.rename(tmp_dir, alt_dir)  # the commit point
     return alt_dir
