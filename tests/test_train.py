@@ -434,3 +434,57 @@ def test_resident_eval_matches_loader_eval():
         model, state, images, tris, batch_size=4, seg_size=32, eval_size=32)
     np.testing.assert_allclose(a_iou, b_iou, atol=1e-5)
     np.testing.assert_allclose(a_acc, b_acc, atol=1e-5)
+
+
+def test_multiclass_resident_eval_matches_loader_eval():
+    """evaluate_multiclass_dataset (one-dispatch supervised eval) must equal
+    the per-batch loader eval — including a ragged final batch, whose valid
+    mask must reproduce the slice-off-padding semantics exactly."""
+    from weaklysuperviseddl_tpu.data import download_data
+    from weaklysuperviseddl_tpu.data.loader import stack_dataset
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        create_seg_state, evaluate_multiclass, evaluate_multiclass_dataset)
+
+    ds = download_data(None, split="test", synthetic_size=11, image_size=32,
+                       seed=5, num_classes=5)
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    a_acc, a_iou = evaluate_multiclass(
+        model, state, batches(ds, 4), num_classes=2, seg_size=32)
+    images, _, tris = stack_dataset(ds)
+    b_acc, b_iou = evaluate_multiclass_dataset(
+        model, state, images, tris, num_classes=2, batch_size=4, seg_size=32)
+    np.testing.assert_allclose(a_iou, b_iou, atol=1e-5)
+    np.testing.assert_allclose(a_acc, b_acc, atol=1e-5)
+
+
+def test_program_memos_shared_and_bounded():
+    """Two same-config runs must reuse the SAME traced epoch/sweep programs
+    (no re-tracing per alternation), and the memos must stay bounded so a
+    long-lived sweep/serving process can't grow without limit (VERDICT r3)."""
+    from weaklysuperviseddl_tpu.train import segmentation as seg
+    from weaklysuperviseddl_tpu.train.segmentation import (
+        _epoch_programs, create_seg_state)
+    from weaklysuperviseddl_tpu.utils.cache import BoundedCache
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state_a, tx_a = create_seg_state(model, jax.random.PRNGKey(0), input_size=32)
+    state_b, tx_b = create_seg_state(model, jax.random.PRNGKey(1), input_size=32)
+    # same (lr, guard) config → the SAME tx instance (id-keyed memo works)
+    assert tx_a is tx_b
+    p1 = _epoch_programs(model, tx_a, "cross_entropy", 32, None, False)
+    p2 = _epoch_programs(model, tx_b, "cross_entropy", 32, None, False)
+    assert p1[0] is p2[0] and p1[1] is p2[1]
+
+    # boundedness: the LRU never exceeds maxsize
+    c = BoundedCache(maxsize=3)
+    for i in range(10):
+        c.put(i, i)
+    assert len(c) == 3
+    assert c.get(9) == 9 and c.get(0) is None
+    # LRU order: touching an entry protects it from eviction
+    c.get(7)
+    c.put(10, 10)
+    assert 7 in c and 8 not in c
+    assert isinstance(seg._EPOCH_PROGRAMS, BoundedCache)
+    assert isinstance(seg._TX_CACHE, BoundedCache)

