@@ -5,10 +5,21 @@ runs per image on the host, round-tripping through skimage. Here the whole
 batch — LayerCAM, thresholding, connected components — is device work; only
 the optional PNG persistence touches the host (data/mask_store.py keeps the
 reference's file contract).
+
+Two-stage factoring (VERDICT r3 #2): CAM extraction (the expensive LayerCAM
+forward + vjp over the train set) and mask derivation (threshold → optional
+CRF → largest-component — cheap device postprocessing) are separate device
+programs.  ``generate_pseudo_masks`` composes them, so the one-shot path is
+bit-identical to extract-once-derive-many; the ablation grid
+(pipelines/ablations.py) extracts CAMs ONCE and derives masks per
+(threshold, keep_largest, crf) combo instead of recomputing identical CAMs
+per grid point × repeat — the reference recomputes them every time
+(Abalations.py:9-29).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -44,6 +55,188 @@ def _store_image_u8(x):
     return ((x - lo) / jnp.maximum(hi - lo, 1e-8) * 255).astype(jnp.uint8)
 
 
+def _index_table(n: int, batch_size: int) -> np.ndarray:
+    """Padded [T,B] index table over n items (padded rows repeat the last
+    index; their outputs are dropped on the host side)."""
+    B = batch_size
+    T = (n + B - 1) // B
+    idx = np.concatenate([np.arange(n), np.repeat(n - 1, T * B - n)])
+    return idx.reshape(T, B).astype(np.int32)
+
+
+@dataclass
+class ResidentCams:
+    """Device-resident CAM extraction output: everything mask derivation
+    needs, uploaded/computed once. Per-image CAM values are independent of
+    batch composition (eval-mode BN, per-sample ops), so masks derived from a
+    reordered view are bit-identical to recomputing CAMs in that order."""
+
+    images_raw: jnp.ndarray     # [N,H,W,3] uint8, the loader's raw decodes
+    cams: jnp.ndarray           # [N,S,S] float32 in [0,1]
+    store_images: jnp.ndarray   # [N,S,S,3] uint8 (min-max unnormalized)
+    image_size: int
+    batch_size: int
+
+    def __len__(self):
+        return int(self.cams.shape[0])
+
+
+def extract_cams(
+    loader,
+    model,
+    variables,
+    alpha: float = 1.0,
+    target_layers=("layer3", "layer4"),
+    alpha_mode: str = "per_layer",
+    image_size: int = 224,
+    max_images: int | None = 500,
+    batches_per_dispatch: int | None = None,
+) -> ResidentCams:
+    """Stage 1: drain the loader ONCE, upload ONCE, run LayerCAM over the
+    whole set as scanned batches per device program (None = everything in one
+    dispatch). The expensive part of pseudo-mask generation, factored so grid
+    searches run it once (reference recomputes per combo, Abalations.py:9-29).
+    """
+    imgs_np, labels_np = [], []
+    n = 0
+    batch_size = None
+    cap = np.inf if max_images is None else max_images
+    for batch in loader:
+        if n >= cap:
+            break
+        batch_size = batch.image.shape[0] if batch_size is None else batch_size
+        take = int(min(batch.num_valid, cap - n))
+        imgs_np.append(np.asarray(batch.image[:take], np.uint8))
+        labels_np.append(np.asarray(batch.label[:take], np.int32))
+        n += take
+    if n == 0:
+        return ResidentCams(
+            jnp.zeros((0, image_size, image_size, 3), jnp.uint8),
+            jnp.zeros((0, image_size, image_size), jnp.float32),
+            jnp.zeros((0, image_size, image_size, 3), jnp.uint8),
+            image_size, batch_size or 1)
+    images_all = np.concatenate(imgs_np)      # [N,H,W,3] uint8
+    labels_all = np.concatenate(labels_np)    # [N]
+
+    B = batch_size
+    idx_table = _index_table(n, B)
+    T = idx_table.shape[0]
+
+    dev_images = jax.device_put(jnp.asarray(images_all))
+    dev_labels = jax.device_put(jnp.asarray(labels_all))
+
+    @jax.jit
+    def sweep(variables, dev_images, dev_labels, idxs):
+        def body(_, idx):
+            raw = dev_images[idx]
+            lab = dev_labels[idx]
+            x, _unused = preprocess_batch(raw, None, size=image_size)
+            cam, _logits = layercam(
+                model, variables, x, lab,
+                target_layers=tuple(target_layers), alpha=alpha,
+                alpha_mode=alpha_mode, output_size=image_size,
+            )
+            return None, (cam.astype(jnp.float32), _store_image_u8(x))
+        _, (cams, imgs) = jax.lax.scan(body, None, idxs)
+        return cams, imgs                      # [K,B,S,S], [K,B,S,S,3]
+
+    K = T if batches_per_dispatch is None else min(batches_per_dispatch, T)
+    cams_out, imgs_out = [], []
+    for start in range(0, T, K):
+        chunk = idx_table[start : start + K]
+        if chunk.shape[0] < K:  # keep the jit shape static across chunks
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], K - chunk.shape[0], axis=0)])
+        c, im = sweep(variables, dev_images, dev_labels, jnp.asarray(chunk))
+        cams_out.append(c.reshape(-1, *c.shape[2:]))
+        imgs_out.append(im.reshape(-1, *im.shape[2:]))
+    cams = jnp.concatenate(cams_out)[:n] if len(cams_out) > 1 else cams_out[0][:n]
+    store_imgs = (jnp.concatenate(imgs_out)[:n] if len(imgs_out) > 1
+                  else imgs_out[0][:n])
+    return ResidentCams(dev_images, cams, store_imgs, image_size, B)
+
+
+@partial(jax.jit, static_argnames=("keep_largest", "crf", "image_size",
+                                   "crf_items"))
+def _derive_masks(dev_images, cams, idxs, cam_thresh, keep_largest, crf,
+                  image_size, crf_items):
+    """Mask derivation program (module-level jit: the trace persists across
+    grid combos — cam_thresh is a RUNTIME arg, so the 12-point reference grid
+    compiles this once per (keep_largest, crf) rather than per threshold)."""
+    def body(_, idx):
+        cam = cams[idx]
+        if crf:
+            # script-path variant (AlternatingDirectionCutLoss.py:530-558):
+            # zero the CAM below threshold, then refine with the dense CRF
+            from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf
+
+            raw = dev_images[idx]
+            x, _unused = preprocess_batch(raw, None, size=image_size)
+            cam_t = jnp.where(cam < cam_thresh, 0.0, cam)
+            m = apply_dense_crf(x * 255.0, cam_t, **dict(crf_items))
+            if keep_largest:
+                m = keep_largest_batch(m)
+        else:
+            m = cam_to_mask(cam, cam_thresh, keep_largest)
+        return None, m.astype(jnp.uint8)
+    _, masks = jax.lax.scan(body, None, idxs)
+    return masks                               # [T,B,S,S]
+
+
+def masks_from_cams(
+    resident: ResidentCams,
+    cam_thresh: float = 0.3,
+    keep_largest_masks: bool = True,
+    use_crf: bool = False,
+    crf_kwargs: dict | None = None,
+    store_dir: str | None = None,
+    order: np.ndarray | None = None,
+    max_images: int | None = None,
+) -> MaskStore:
+    """Stage 2: threshold → (optional dense CRF) → largest component over
+    device-resident CAMs, one scanned dispatch; results land in a MaskStore
+    keyed by zero-padded running id (the reference contract).
+
+    ``order``: optional [M] index array — derive masks for the images in this
+    order (e.g. the per-repeat shuffled loader order of the ablation grid),
+    bit-identical to having extracted CAMs from a loader in that order.
+    ``max_images`` caps the output AFTER ordering (the reference caps its
+    shuffled stream, PsuedoMasks.py:34)."""
+    store = MaskStore(directory=store_dir)
+    n_all = len(resident)
+    if n_all == 0:
+        return store
+    order = np.arange(n_all) if order is None else np.asarray(order, np.int64)
+    if max_images is not None:
+        order = order[:max_images]
+    n = order.shape[0]
+    if n == 0:
+        return store
+
+    B = resident.batch_size
+    pos_table = _index_table(n, B)            # positions into `order`
+    idx_table = order[pos_table].astype(np.int32)  # dataset indices
+    T = idx_table.shape[0]
+    image_size = resident.image_size
+
+    crf_items = tuple(sorted((crf_kwargs or {}).items())) if use_crf else ()
+    masks = _derive_masks(
+        resident.images_raw, resident.cams, jnp.asarray(idx_table),
+        jnp.float32(cam_thresh), keep_largest_masks, use_crf, image_size,
+        crf_items)
+    # two bulk readbacks: masks + the (reordered) store images
+    masks_np = np.asarray(masks).reshape(-1, image_size, image_size)[:n]
+    if n == n_all and np.array_equal(order, np.arange(n_all)):
+        images_np = np.asarray(resident.store_images)
+    else:
+        images_np = np.asarray(resident.store_images[jnp.asarray(order)])
+
+    for img_id in range(n):
+        store.put(f"{img_id:05d}", images_np[img_id], masks_np[img_id])
+    store.flush()  # durability barrier: the directory is this stage's output
+    return store
+
+
 def generate_pseudo_masks(
     loader,
     model,
@@ -62,7 +255,7 @@ def generate_pseudo_masks(
     batches_per_dispatch: int | None = None,
 ) -> MaskStore:
     """Device-resident batched pseudo-mask generation over a loader of Batch
-    objects.
+    objects — extract_cams ∘ masks_from_cams (see module docstring).
 
     Matches the reference contract (PsuedoMasks.py:23-79): ground-truth class
     labels drive CAM selection; output capped at ``max_images``; masks and
@@ -72,81 +265,19 @@ def generate_pseudo_masks(
     Epoch-loop structure (round-2 lesson, BASELINE.md "Real epoch-loop
     throughput"): the per-batch host→device loop is transfer/dispatch-bound on
     an attached relay (~15 img/s against 600+ img/s compute). Here the loader
-    is drained ONCE into host arrays, uploaded ONCE, and the whole
-    CAM→threshold→(CRF)→largest-component sweep runs as
+    is drained ONCE into host arrays, uploaded ONCE, and the
+    CAM and threshold→(CRF)→largest-component sweeps each run as
     ``batches_per_dispatch`` scanned batches per device program (None = the
     entire dataset in one dispatch); outputs come back as two bulk uint8
     transfers. Per-batch traffic is zero.
     """
-    store = MaskStore(directory=store_dir)
-
-    # drain the loader once (host): raw uint8 images + labels, capped
-    imgs_np, labels_np = [], []
-    n = 0
-    batch_size = None
-    for batch in loader:
-        if n >= max_images:
-            break
-        batch_size = batch.image.shape[0] if batch_size is None else batch_size
-        take = min(batch.num_valid, max_images - n)
-        imgs_np.append(np.asarray(batch.image[:take], np.uint8))
-        labels_np.append(np.asarray(batch.label[:take], np.int32))
-        n += take
-    if n == 0:
-        return store
-    images_all = np.concatenate(imgs_np)      # [N,H,W,3] uint8
-    labels_all = np.concatenate(labels_np)    # [N]
-
-    # pad to a full [T,B] index table (padded rows recompute the last image;
-    # their outputs are dropped on the host side)
-    B = batch_size
-    T = (n + B - 1) // B
-    idx_flat = np.concatenate([np.arange(n), np.repeat(n - 1, T * B - n)])
-    idx_table = idx_flat.reshape(T, B).astype(np.int32)
-
-    dev_images = jax.device_put(jnp.asarray(images_all))
-    dev_labels = jax.device_put(jnp.asarray(labels_all))
-
-    @jax.jit
-    def sweep(variables, dev_images, dev_labels, idxs):
-        def body(_, idx):
-            raw = dev_images[idx]
-            lab = dev_labels[idx]
-            x, _unused = preprocess_batch(raw, None, size=image_size)
-            cam, _logits = layercam(
-                model, variables, x, lab,
-                target_layers=tuple(target_layers), alpha=alpha,
-                alpha_mode=alpha_mode, output_size=image_size,
-            )
-            if use_crf:
-                # script-path variant (AlternatingDirectionCutLoss.py:530-558):
-                # zero the CAM below threshold, then refine with the dense CRF
-                from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf
-
-                cam_t = jnp.where(cam < cam_thresh, 0.0, cam)
-                m = apply_dense_crf(x * 255.0, cam_t, **(crf_kwargs or {}))
-                if keep_largest_masks:
-                    m = keep_largest_batch(m)
-            else:
-                m = cam_to_mask(cam, cam_thresh, keep_largest_masks)
-            return None, (m.astype(jnp.uint8), _store_image_u8(x))
-        _, (masks, imgs) = jax.lax.scan(body, None, idxs)
-        return masks, imgs                     # [K,B,S,S], [K,B,S,S,3]
-
-    K = T if batches_per_dispatch is None else min(batches_per_dispatch, T)
-    masks_out, imgs_out = [], []
-    for start in range(0, T, K):
-        chunk = idx_table[start : start + K]
-        if chunk.shape[0] < K:  # keep the jit shape static across chunks
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], K - chunk.shape[0], axis=0)])
-        m, im = sweep(variables, dev_images, dev_labels, jnp.asarray(chunk))
-        masks_out.append(np.asarray(m).reshape(-1, *m.shape[2:]))
-        imgs_out.append(np.asarray(im).reshape(-1, *im.shape[2:]))
-    masks_np = np.concatenate(masks_out)[: T * B]
-    images_np = np.concatenate(imgs_out)[: T * B]
-
-    for img_id in range(n):
-        store.put(f"{img_id:05d}", images_np[img_id], masks_np[img_id])
-    store.flush()  # durability barrier: the directory is this stage's output
-    return store
+    del run_id  # kept for reference-signature parity
+    resident = extract_cams(
+        loader, model, variables, alpha=alpha, target_layers=target_layers,
+        alpha_mode=alpha_mode, image_size=image_size, max_images=max_images,
+        batches_per_dispatch=batches_per_dispatch,
+    )
+    return masks_from_cams(
+        resident, cam_thresh=cam_thresh, keep_largest_masks=keep_largest_masks,
+        use_crf=use_crf, crf_kwargs=crf_kwargs, store_dir=store_dir,
+    )

@@ -4,6 +4,17 @@ Reference: TraditionalModel/Abalations.py:9-96 — grid over (cam_method,
 cam_thresh, alpha, lr, keep_largest) × 3 repeats; per combo: load classifier
 checkpoint → generate pseudo-masks → train DeepLabV3 5 epochs → eval; summary
 mean/stdev per combo. Same surface here, driven by ExperimentConfig overrides.
+
+TPU-first restructure (VERDICT r3 #2): the reference regenerates pseudo-masks
+— a full LayerCAM forward+vjp over the train set — inside the combo×repeat
+loop (Abalations.py:9-29), but CAMs depend only on (alpha, target_layers),
+which the reference grid holds fixed. Here CAMs are extracted ONCE per alpha
+(masks/pseudo.extract_cams) and each grid point derives its masks with the
+cheap threshold→largest-component device program, reordered per repeat to the
+exact shuffled order the naive loader would have produced — bit-identical
+results (tests/test_pipelines.py), at a fraction of the wall clock. Eval runs
+against the device-resident test set in one dispatch per combo
+(evaluate_segmentation_dataset).
 """
 
 from __future__ import annotations
@@ -11,15 +22,22 @@ from __future__ import annotations
 import itertools
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from weaklysuperviseddl_tpu.config import ExperimentConfig
 from weaklysuperviseddl_tpu.data import download_data, load_split_data
-from weaklysuperviseddl_tpu.data.loader import batches
-from weaklysuperviseddl_tpu.masks.pseudo import generate_pseudo_masks
+from weaklysuperviseddl_tpu.data.loader import batches, stack_dataset
+from weaklysuperviseddl_tpu.masks.pseudo import (
+    extract_cams,
+    generate_pseudo_masks,
+    masks_from_cams,
+)
 from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
 from weaklysuperviseddl_tpu.train.segmentation import (
     create_seg_state,
     evaluate_segmentation,
+    evaluate_segmentation_dataset,
     train_segmentation_model,
 )
 from weaklysuperviseddl_tpu.utils.metrics import mean_std
@@ -38,17 +56,34 @@ def run_ablation(
     run_id: str,
     cfg: ExperimentConfig,
     log=print,
+    resident_cams=None,
+    mask_order=None,
+    test_arrays=None,
 ):
-    """One grid point (ref Abalations.py:9-29). Returns the result dict."""
+    """One grid point (ref Abalations.py:9-29). Returns the result dict.
+
+    ``resident_cams``/``mask_order``: pre-extracted CAMs (masks/pseudo.
+    extract_cams) and the per-repeat shuffled order — the factored fast path;
+    when absent, CAMs are computed from ``train_loader`` (the reference
+    shape). ``test_arrays``: (images_u8, trimaps) device-resident test set
+    for the one-dispatch eval; falls back to the ``test_loader`` batch loop.
+    """
     del cam_method  # LayerCAM is the only method the reference grid enables
     d = cfg.data
-    store = generate_pseudo_masks(
-        train_loader, classifier_model, classifier_variables,
-        cam_thresh=cam_thresh, alpha=alpha, keep_largest_masks=keep_largest,
-        run_id=run_id, target_layers=cfg.cam.target_layers,
-        alpha_mode=cfg.cam.alpha_mode, image_size=d.image_size,
-        max_images=cfg.mask.max_images,
-    )
+    if resident_cams is not None:
+        store = masks_from_cams(
+            resident_cams, cam_thresh=cam_thresh,
+            keep_largest_masks=keep_largest, order=mask_order,
+            max_images=cfg.mask.max_images,
+        )
+    else:
+        store = generate_pseudo_masks(
+            train_loader, classifier_model, classifier_variables,
+            cam_thresh=cam_thresh, alpha=alpha, keep_largest_masks=keep_largest,
+            run_id=run_id, target_layers=cfg.cam.target_layers,
+            alpha_mode=cfg.cam.alpha_mode, image_size=d.image_size,
+            max_images=cfg.mask.max_images,
+        )
     seg_model = DeepLabV3(
         num_classes=cfg.seg.num_classes, backbone_depth=cfg.seg.backbone_depth,
         width_multiplier=cfg.seg.width_multiplier,
@@ -62,9 +97,16 @@ def run_ablation(
         num_epochs=cfg.seg.epochs, batch_size=cfg.seg.batch_size,
         seg_size=d.seg_size, run_id=run_id, log=log,
     )
-    iou, acc = evaluate_segmentation(
-        seg_model, state, test_loader(), seg_size=d.seg_size, eval_size=d.image_size,
-    )
+    if test_arrays is not None:
+        iou, acc = evaluate_segmentation_dataset(
+            seg_model, state, *test_arrays, batch_size=d.eval_batch_size,
+            seg_size=d.seg_size, eval_size=d.image_size,
+        )
+    else:
+        iou, acc = evaluate_segmentation(
+            seg_model, state, test_loader(), seg_size=d.seg_size,
+            eval_size=d.image_size,
+        )
     return {"run_id": run_id, "iou": iou, "acc": acc, "final_loss": final_loss}
 
 
@@ -76,7 +118,12 @@ def run_ablation_experiment(
     num_repeats: int = 3,
     log=print,
 ):
-    """Grid × repeats with mean/stdev summaries (ref Abalations.py:32-81)."""
+    """Grid × repeats with mean/stdev summaries (ref Abalations.py:32-81).
+
+    CAM extraction runs ONCE per distinct alpha in the grid; every combo ×
+    repeat reuses the resident CAMs via the per-repeat shuffled order the
+    naive per-combo loader would have used (bit-identical, see module
+    docstring)."""
     d = cfg.data
     train_ds, _ = load_split_data(
         d.root, train_ratio=d.train_ratio, seed=d.seed,
@@ -87,6 +134,36 @@ def run_ablation_experiment(
         d.root, split="test", synthetic_size=max(16, d.synthetic_size // 4),
         image_size=d.image_size, seed=d.seed, num_classes=d.num_classes,
     )
+    test_images, _, test_trimaps = stack_dataset(test_ds)
+    test_arrays = (jax.device_put(jnp.asarray(test_images)),
+                   jax.device_put(jnp.asarray(test_trimaps)))
+
+    # loader shuffle order per repeat (data/loader.batches semantics); the
+    # max_images cap applies to the shuffled stream, so it is applied AFTER
+    # ordering inside masks_from_cams
+    n_train = len(train_ds)
+    repeat_orders = []
+    for repeat in range(num_repeats):
+        order = np.arange(n_train)
+        np.random.default_rng(repeat).shuffle(order)
+        repeat_orders.append(order)
+
+    cams_by_alpha: dict = {}
+
+    def resident_for(alpha):
+        res = cams_by_alpha.get(alpha)
+        if res is None:
+            log(f"Extracting CAMs once for alpha={alpha} "
+                f"({n_train} images)...")
+            res = extract_cams(
+                batches(train_ds, d.batch_size, pad_to_full=True),
+                classifier_model, classifier_variables, alpha=alpha,
+                target_layers=cfg.cam.target_layers,
+                alpha_mode=cfg.cam.alpha_mode, image_size=d.image_size,
+                max_images=None,
+            )
+            cams_by_alpha[alpha] = res
+        return res
 
     results = []
     for combo_id, (method, cam_thresh, alpha, lr, keep_largest_opt) in enumerate(all_combinations):
@@ -96,11 +173,11 @@ def run_ablation_experiment(
             log(f"\n Running {run_id}...")
             result = run_ablation(
                 classifier_model, classifier_variables,
-                train_loader=batches(train_ds, d.batch_size, shuffle=True,
-                                     seed=repeat, pad_to_full=True),
-                test_loader=lambda: batches(test_ds, d.eval_batch_size),
+                train_loader=None, test_loader=None,
                 cam_method=method, cam_thresh=cam_thresh, alpha=alpha, lr=lr,
                 keep_largest=keep_largest_opt, run_id=run_id, cfg=cfg, log=log,
+                resident_cams=resident_for(alpha),
+                mask_order=repeat_orders[repeat], test_arrays=test_arrays,
             )
             result.update({
                 "cam_method": method, "cam_thresh": cam_thresh, "alpha": alpha,
