@@ -1,0 +1,163 @@
+"""Serving latency SLO measurement (VERDICT r3 #5).
+
+Drives MaskServer — the HTTP front with dynamic micro-batching — with
+closed-loop concurrent clients on the real chip and records p50/p99
+per-request latency and achieved throughput vs offered concurrency, for the
+measured-best serving config (batch 64 + packed readback + int8 PTQ; see
+BASELINE.md round 3). Throughput without a latency distribution is not a
+serving claim; this produces the distribution.
+
+The reference has no serving story (SURVEY.md §2) — this measures the repo's
+own beyond-reference surface like the production claim it makes.
+
+Records E2E_SERVE_LATENCY.json and prints a markdown table for BASELINE.md.
+
+Usage: python scripts/bench_serve_latency.py [--duration 10] [--no-int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+
+def drive_clients(url: str, images: np.ndarray, concurrency: int,
+                  duration_s: float):
+    """Closed-loop load: ``concurrency`` client threads each POST
+    sequentially for ``duration_s``. Returns per-request latencies (s)."""
+    import urllib.request
+
+    bodies = []
+    for img in images:
+        buf = io.BytesIO()
+        np.save(buf, img)
+        bodies.append(buf.getvalue())
+
+    latencies: list[float] = []
+    lock = threading.Lock()
+    stop_at = time.perf_counter() + duration_s
+
+    def client(cid: int):
+        rng = np.random.default_rng(cid)
+        local = []
+        while time.perf_counter() < stop_at:
+            body = bodies[int(rng.integers(len(bodies)))]
+            t0 = time.perf_counter()
+            req = urllib.request.Request(url, data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                r.read()
+            local.append(time.perf_counter() - t0)
+        with lock:
+            latencies.extend(local)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    return latencies, elapsed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="seconds of load per concurrency level")
+    ap.add_argument("--concurrencies", default="1,4,16,64")
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--no-packed", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "E2E_SERVE_LATENCY.json"))
+    args = ap.parse_args()
+
+    from weaklysuperviseddl_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+    import jax
+
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    model = DeepLabV3(num_classes=2, backbone_depth=50, width_multiplier=1.0)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0),
+                                input_size=args.size)
+    pred = Predictor(model, state, size=args.size, max_batch=args.max_batch,
+                     packed=not args.no_packed)
+    rng = np.random.default_rng(0)
+    images = (rng.uniform(0, 255, (args.max_batch, args.size, args.size, 3))
+              .astype(np.uint8))
+    if not args.no_int8:
+        print("calibrating int8 PTQ...", flush=True)
+        report = pred.quantize(images)
+        print(f"int8: {report}", flush=True)
+    print("warmup...", flush=True)
+    pred.warmup()
+
+    server = pred.serve_http(max_wait_ms=args.max_wait_ms)
+    url = f"http://127.0.0.1:{server.port}/predict"
+    print(f"serving on {url}", flush=True)
+
+    rows = []
+    try:
+        for conc in [int(c) for c in args.concurrencies.split(",")]:
+            n0 = len(server.dispatch_sizes)
+            lats, elapsed = drive_clients(url, images[:8], conc, args.duration)
+            sizes = server.dispatch_sizes[n0:]
+            lats_ms = np.asarray(sorted(lats)) * 1e3
+            row = {
+                "concurrency": conc,
+                "requests": len(lats),
+                "throughput_img_per_s": round(len(lats) / elapsed, 1),
+                "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
+                "p90_ms": round(float(np.percentile(lats_ms, 90)), 1),
+                "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
+                "mean_coalesced_batch": round(float(np.mean(sizes)), 2) if sizes else 0,
+                "max_coalesced_batch": int(np.max(sizes)) if sizes else 0,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    finally:
+        server.stop()
+
+    record = {
+        "config": {
+            "model": "DeepLabV3-ResNet50", "size": args.size,
+            "max_batch": args.max_batch, "packed": not args.no_packed,
+            "int8": not args.no_int8, "max_wait_ms": args.max_wait_ms,
+            "protocol": "HTTP POST np.save bodies, closed-loop clients",
+            "duration_s_per_level": args.duration,
+            "device": f"{dev.platform} {dev.device_kind}",
+        },
+        "levels": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+    print("\n| clients | req/s | p50 ms | p90 ms | p99 ms | mean batch |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['concurrency']} | {r['throughput_img_per_s']} | "
+              f"{r['p50_ms']} | {r['p90_ms']} | {r['p99_ms']} | "
+              f"{r['mean_coalesced_batch']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -236,6 +236,9 @@ class MaskServer:
         self._server = None
         self._threads = []
         self._queue = None
+        # per-dispatch coalesced batch sizes (observability: micro-batching
+        # under load is a measured property, tests/bench assert on it)
+        self.dispatch_sizes: list[int] = []
 
     @property
     def port(self) -> int:
@@ -251,6 +254,7 @@ class MaskServer:
         pred = self.predictor
         q = self._queue = queue.Queue()
         max_wait_s = self.max_wait_ms / 1e3
+        self_outer = self
 
         class _Job:
             __slots__ = ("img", "event", "result", "error")
@@ -285,6 +289,7 @@ class MaskServer:
                 for jobs in groups.values():
                     for s in range(0, len(jobs), pred.max_batch):
                         chunk = jobs[s : s + pred.max_batch]
+                        self_outer.dispatch_sizes.append(len(chunk))
                         try:
                             masks = pred(np.stack([b.img for b in chunk]))
                             for b, m in zip(chunk, masks):
