@@ -14,6 +14,28 @@ def test_unknown_command_rejected(capsys):
     assert e.value.code == 2
 
 
+def test_deep_config_overrides():
+    """Dotted overrides must reach arbitrarily nested config dataclasses
+    (e.g. the RefineConfig inside AlternatingConfig) and coerce types."""
+    from weaklysuperviseddl_tpu.cli import _apply_overrides
+    from weaklysuperviseddl_tpu.config import ExperimentConfig
+
+    cfg = _apply_overrides(ExperimentConfig(), {
+        "seed": "7",
+        "data.image_size": "96",
+        "mask.use_crf": "true",
+        "alternating.refine.num_steps": "10",
+        "alternating.refine.lr": "0.05",
+    })
+    assert cfg.seed == 7
+    assert cfg.data.image_size == 96
+    assert cfg.mask.use_crf is True
+    assert cfg.alternating.refine.num_steps == 10
+    assert cfg.alternating.refine.lr == 0.05
+    # untouched siblings keep their defaults
+    assert cfg.alternating.num_alternations == 10
+
+
 def test_serve_smoke_round_trip(capsys):
     """`serve --smoke` starts the HTTP front, self-requests one mask, and
     exits 0 — the driveable deployment path."""

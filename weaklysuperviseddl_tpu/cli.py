@@ -25,14 +25,9 @@ import sys
 
 
 def _apply_overrides(cfg, overrides: dict):
-    """Apply {'data.image_size': '224', ...} onto nested frozen dataclasses."""
-    grouped: dict[str, dict] = {}
-    for key, value in overrides.items():
-        if "." in key:
-            section, field = key.split(".", 1)
-            grouped.setdefault(section, {})[field] = value
-        else:
-            grouped.setdefault("", {})[key] = value
+    """Apply {'data.image_size': '224', ...} onto nested frozen dataclasses.
+    Arbitrary nesting depth: 'alternating.refine.num_steps' reaches the
+    RefineConfig inside AlternatingConfig."""
 
     def coerce(current, raw):
         if isinstance(current, bool):
@@ -43,16 +38,15 @@ def _apply_overrides(cfg, overrides: dict):
             return type(current)(raw)
         return raw
 
-    updates = {}
-    for section, fields in grouped.items():
-        if not section:
-            for f, raw in fields.items():
-                updates[f] = coerce(getattr(cfg, f), raw)
-            continue
-        sub = getattr(cfg, section)
-        sub_updates = {f: coerce(getattr(sub, f), raw) for f, raw in fields.items()}
-        updates[section] = dataclasses.replace(sub, **sub_updates)
-    return dataclasses.replace(cfg, **updates)
+    def set_path(node, path: list[str], raw):
+        field, rest = path[0], path[1:]
+        current = getattr(node, field)
+        value = set_path(current, rest, raw) if rest else coerce(current, raw)
+        return dataclasses.replace(node, **{field: value})
+
+    for key, raw in overrides.items():
+        cfg = set_path(cfg, key.split("."), raw)
+    return cfg
 
 
 def _base_cfg(args, extra):
@@ -109,9 +103,21 @@ def main(argv=None):
                              "random init if omitted")
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument("--size", type=int, default=256)
-    parser.add_argument("--max-batch", type=int, default=16)
-    parser.add_argument("--packed", action="store_true",
-                        help="serve: bit-packed device→host mask readback")
+    # serve defaults = the measured-best config (BASELINE.md serving table):
+    # batch 64 + packed readback + int8 PTQ
+    parser.add_argument("--max-batch", type=int, default=64)
+    parser.add_argument("--packed", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="serve: bit-packed device→host mask readback "
+                             "(default on; --no-packed for raw uint8)")
+    parser.add_argument("--int8", default=True,
+                        action=argparse.BooleanOptionalAction,
+                        help="serve: int8 PTQ of the serving program "
+                             "(default on; calibrates on --calib-dir images "
+                             "or synthetic data). --no-int8 for bf16/f32")
+    parser.add_argument("--calib-dir", default=None,
+                        help="serve: directory of calibration PNGs/JPGs for "
+                             "--int8 (synthetic calibration if omitted)")
     parser.add_argument("--alternating", action="store_true",
                         help="weakly: run the full alternating train↔refine "
                              "loop after the initial cycle")
@@ -121,21 +127,73 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="weakly --alternating: restore the latest "
                              "snapshot in --checkpoint-dir and continue")
+    parser.add_argument("--timings-out", default=None,
+                        help="weakly: write a per-phase wall-clock/img-per-s "
+                             "JSON record of THIS pipeline run (the E2E "
+                             "record is produced by the shipped entry point, "
+                             "not a measurement script)")
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "weakly":
+        import time
+
+        from weaklysuperviseddl_tpu.utils.profiling import (
+            Stopwatch, enable_compile_cache)
+
+        enable_compile_cache()
+        cfg = _base_cfg(args, extra)
+        sw = Stopwatch()
+        t0 = time.perf_counter()
+        if args.timings_out:
+            # first device contact on an attached relay can stall for minutes
+            # (tunnel handshake); pay it in its own phase so the pipeline
+            # phases measure the pipeline, not the relay
+            import jax
+            import jax.numpy as jnp
+
+            with sw.phase("device_warmup"):
+                print(f"device: {jax.devices()[0]}", flush=True)
+                float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
         if args.alternating or args.resume:
             from weaklysuperviseddl_tpu.pipelines import (
                 run_weakly_supervised_alternating,
             )
 
             result = run_weakly_supervised_alternating(
-                _base_cfg(args, extra), checkpoint_dir=args.checkpoint_dir,
-                resume=args.resume)
+                cfg, checkpoint_dir=args.checkpoint_dir,
+                resume=args.resume, stopwatch=sw)
         else:
             from weaklysuperviseddl_tpu.pipelines import run_weakly_supervised
 
-            result = run_weakly_supervised(_base_cfg(args, extra))
+            result = run_weakly_supervised(cfg, stopwatch=sw)
+        wall = time.perf_counter() - t0
+        if args.timings_out:
+            import dataclasses
+
+            import jax
+
+            record = {
+                "cmd": "python -m weaklysuperviseddl_tpu weakly"
+                       + (" --alternating" if args.alternating else "")
+                       + (" --resume" if args.resume else ""),
+                "config": dataclasses.asdict(cfg),
+                "device": str(jax.devices()[0]),
+                "wall_clock_s": round(wall, 2),
+                "phases": {
+                    name: {
+                        "seconds": round(sw.times[name], 3),
+                        "calls": sw.counts[name],
+                        "img_per_s": round(sw.rate(name), 2),
+                        **({"first_call_s": round(sw.first_call_s(name), 3),
+                            "marginal_img_per_s": round(sw.marginal_rate(name), 2)}
+                           if sw.marginal_rate(name) is not None else {}),
+                    } for name in sw.times
+                },
+                "metrics": result.metrics,
+            }
+            with open(args.timings_out, "w") as f:
+                json.dump(record, f, indent=1)
+            sw.report()
         print(json.dumps(result.metrics))
     elif args.command == "supervised":
         from weaklysuperviseddl_tpu.pipelines import run_supervised_training
@@ -208,7 +266,31 @@ def main(argv=None):
                 params=restored["params"], batch_stats=restored["batch_stats"])
         pred = Predictor(model, state, size=size,
                          max_batch=2 if args.smoke else args.max_batch,
-                         packed=args.packed).warmup()
+                         packed=args.packed)
+        if args.int8 and not args.smoke:
+            import numpy as np
+
+            if args.calib_dir:
+                from PIL import Image
+
+                files = sorted(os.listdir(args.calib_dir))[: args.max_batch]
+                calib = np.stack([
+                    np.asarray(Image.open(os.path.join(args.calib_dir, f))
+                               .convert("RGB").resize((size, size)), np.uint8)
+                    for f in files])
+            else:
+                from weaklysuperviseddl_tpu.data import download_data
+
+                ds = download_data(None, split="test",
+                                   synthetic_size=args.max_batch,
+                                   image_size=size)
+                calib = np.stack([np.asarray(ds.images[i], np.uint8)
+                                  for i in range(len(ds))])
+            print("calibrating int8 PTQ "
+                  f"({'dir' if args.calib_dir else 'synthetic'}, "
+                  f"{calib.shape[0]} images)...")
+            pred.quantize(calib)
+        pred.warmup()
         server = pred.serve_http(port=0 if args.smoke else args.port)
         print(f"serving uint8 [h,w,3] → {size}² masks on "
               f"http://127.0.0.1:{server.port}/predict (np.save bodies)")
