@@ -6,17 +6,18 @@ asset that cannot exist in zero-egress environments, so the engine's
 quality bar has been un-demonstrable here. This demo closes the loop from
 the other side: train the flax port from scratch with the recipe that
 produced basnet.pth (hybrid BCE+SSIM+IoU deep supervision over all 8 side
-outputs, Adam(3e-4, clip 1.0, cosine→1e-5; the paper's 1e-3 diverges from random init); train/basnet.py), overfit a small synthetic-Pet set,
-and push the trained weights through the SAME inference engine
-(pipelines/basnet_infer.run_inference) that the reference protocol uses.
-Random-init IoU ~0.1-0.3 → trained IoU ≥0.9 demonstrates every stage of
-the architecture (encoder, bridge, U-decoder, 7 side heads, RefUnet) and
-the engine itself are functionally correct; only the exact pretrained
-numerics remain weight-gated.
+outputs, Adam(3e-4, clip 1.0, cosine→1e-5; the paper's 1e-3 diverges from
+random init); train/basnet.py), on a train split with a disjoint HELD-OUT
+split (VERDICT r3 #3 — an overfit-only number proves gradients flow, not
+that the architecture generalizes), and push the trained weights through the
+SAME inference engine (pipelines/basnet_infer.run_inference) that the
+reference protocol uses. The record keeps the train AND held-out engine-IoU
+trajectories so the generalization gap is stated, not hidden.
 
 Records E2E_BASNET_TRAIN.json.
 
-Usage: python scripts/train_basnet_demo.py [--images 32] [--epochs 200]
+Usage: python scripts/train_basnet_demo.py [--images 200] [--holdout 50]
+       [--epochs 120]
 """
 
 from __future__ import annotations
@@ -35,8 +36,11 @@ sys.path.insert(0, REPO)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=32)
-    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--images", type=int, default=200, help="train-set size")
+    ap.add_argument("--holdout", type=int, default=50, help="held-out size")
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--eval-every", type=int, default=20,
+                    help="record train/held-out engine IoU every N epochs")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -62,49 +66,85 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
 
-    ds = download_data(args.pet_root, split="test", synthetic_size=args.images,
-                       image_size=args.image_size, seed=0)
+    # disjoint splits: the synthetic generator derives distinct seeds per
+    # split name (data/dataset.py), so train and held-out never overlap
+    train_ds = download_data(args.pet_root, split="trainval",
+                             synthetic_size=args.images,
+                             image_size=args.image_size, seed=0)
+    held_ds = download_data(args.pet_root, split="test",
+                            synthetic_size=args.holdout,
+                            image_size=args.image_size, seed=0)
     model, variables = build_basnet(weights_path=None)
 
-    with sw.phase("eval_random_init", images=args.images):
-        _, iou0, acc0 = run_inference(
-            ds, model=model, variables=variables, num_images=args.images,
-            output_folder=None, log=lambda *a: None)
-    print(f"random-init engine IoU {iou0:.4f} acc {acc0:.4f}", flush=True)
+    def engine_iou(ds, variables, n, out_folder=None):
+        _, iou, acc = run_inference(
+            ds, model=model, variables=variables, num_images=n,
+            output_folder=out_folder, log=lambda *a: None)
+        return iou, acc
+
+    # train-side trajectory eval uses a fixed subset so its cost stays flat
+    n_train_eval = min(args.images, args.holdout)
+    with sw.phase("eval_random_init", images=n_train_eval + args.holdout):
+        iou0_tr, acc0_tr = engine_iou(train_ds, variables, n_train_eval)
+        iou0_ho, acc0_ho = engine_iou(held_ds, variables, args.holdout)
+    print(f"random-init engine IoU train {iou0_tr:.4f} held-out {iou0_ho:.4f}",
+          flush=True)
 
     # training tensors: same preprocessing the engine applies (256² resize +
     # ImageNet normalize); target = trimap fg (==1), the engine's own GT
-    images = jnp.asarray(np.stack([ds.images[i] for i in range(args.images)]))
-    trimaps = jnp.asarray(np.stack([ds.trimaps[i] for i in range(args.images)]))
+    n_pad = -(-args.images // args.batch_size) * args.batch_size
+    sel = np.concatenate([np.arange(args.images),
+                          np.arange(n_pad - args.images) % args.images])
+    images = jnp.asarray(np.stack([train_ds.images[i] for i in sel]))
+    trimaps = jnp.asarray(np.stack([train_ds.trimaps[i] for i in sel]))
     x, tri = preprocess_batch(images, trimaps, size=args.image_size,
                               shift_mask_labels=False)
     x = _normalize_images(x)
     targets = (tri == 1).astype(jnp.float32)
 
-    history = []
-    with sw.phase("train", images=args.images * args.epochs):
+    trajectory = []
+
+    def eval_hook(vars_now, epoch):
+        iou_tr, _ = engine_iou(train_ds, vars_now, n_train_eval)
+        iou_ho, _ = engine_iou(held_ds, vars_now, args.holdout)
+        trajectory.append({"epoch": epoch, "train_iou": round(iou_tr, 4),
+                           "held_out_iou": round(iou_ho, 4)})
+        print(f"  epoch {epoch}: engine IoU train {iou_tr:.4f} "
+              f"held-out {iou_ho:.4f}", flush=True)
+
+    with sw.phase("train", images=n_pad * args.epochs):
         variables, history = train_basnet(
             model, variables, np.asarray(x), np.asarray(targets),
             epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             clip_norm=args.clip_norm, lr_end=args.lr_end,
+            eval_hook=eval_hook, eval_every=args.eval_every,
             log=lambda s: print(s, flush=True))
 
-    with sw.phase("eval_trained", images=args.images):
-        _, iou1, acc1 = run_inference(
-            ds, model=model, variables=variables, num_images=args.images,
-            output_folder=os.path.join(REPO, "basnet_outputs_trained"),
-            log=lambda *a: None)
-    print(f"trained engine IoU {iou1:.4f} acc {acc1:.4f}", flush=True)
+    with sw.phase("eval_trained", images=n_train_eval + args.holdout):
+        iou1_tr, acc1_tr = engine_iou(train_ds, variables, n_train_eval)
+        iou1_ho, acc1_ho = engine_iou(
+            held_ds, variables, args.holdout,
+            out_folder=os.path.join(REPO, "basnet_outputs_trained"))
+    print(f"trained engine IoU train {iou1_tr:.4f} held-out {iou1_ho:.4f} "
+          f"(gap {iou1_tr - iou1_ho:+.4f})", flush=True)
 
     record = {
         "protocol": {
-            "images": args.images, "epochs": args.epochs,
-            "batch_size": args.batch_size, "image_size": args.image_size,
-            "lr": args.lr, "clip_norm": args.clip_norm, "lr_end": args.lr_end, "loss": "hybrid bce+ssim+iou × 8 side outputs",
+            "train_images": args.images, "held_out_images": args.holdout,
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "image_size": args.image_size, "lr": args.lr,
+            "clip_norm": args.clip_norm, "lr_end": args.lr_end,
+            "loss": "hybrid bce+ssim+iou × 8 side outputs",
             "device": f"{dev.platform} {dev.device_kind}",
         },
-        "random_init": {"engine_iou": round(iou0, 4), "engine_acc": round(acc0, 4)},
-        "trained": {"engine_iou": round(iou1, 4), "engine_acc": round(acc1, 4)},
+        "random_init": {"train_iou": round(iou0_tr, 4),
+                        "held_out_iou": round(iou0_ho, 4),
+                        "held_out_acc": round(acc0_ho, 4)},
+        "trained": {"train_iou": round(iou1_tr, 4),
+                    "held_out_iou": round(iou1_ho, 4),
+                    "held_out_acc": round(acc1_ho, 4),
+                    "generalization_gap": round(iou1_tr - iou1_ho, 4)},
+        "iou_trajectory": trajectory,
         "loss_first_epoch": round(history[0], 4),
         "loss_last_epoch": round(history[-1], 4),
         "loss_every_10": [round(v, 4) for v in history[::10]],

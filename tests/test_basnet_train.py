@@ -137,9 +137,15 @@ def test_train_basnet_epoch_loop(basnet_32):
     targets = np.zeros((4, 32, 32), np.float32)
     targets[:, 8:24, 8:24] = 1.0
     logs = []
+    hook_calls = []
     variables, history = train_basnet(
         model, variables, images, targets, epochs=2, batch_size=4,
-        lr=3e-4, clip_norm=1.0, lr_end=1e-5, log=logs.append)
+        lr=3e-4, clip_norm=1.0, lr_end=1e-5, log=logs.append,
+        eval_hook=lambda v, e: hook_calls.append((set(v), e)), eval_every=1)
     assert len(history) == 2
     assert history[1] < history[0]
     assert any("epoch" in s for s in logs)
+    # the mid-training eval hook (held-out trajectory recorder) fires per
+    # eval_every epochs with a plain variables dict
+    assert hook_calls == [({"params", "batch_stats"}, 1),
+                          ({"params", "batch_stats"}, 2)]

@@ -128,6 +128,8 @@ def train_basnet(
     clip_norm: float | None = None,
     lr_end: float | None = None,
     seed: int = 0,
+    eval_hook=None,
+    eval_every: int = 0,
     log=print,
 ) -> tuple[dict, list]:
     """Train the flax BASNet with the paper's recipe (Adam(1e-3), hybrid
@@ -182,4 +184,8 @@ def train_basnet(
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         history.append(mean_loss)
         log(f"basnet epoch {epoch + 1}/{epochs}: loss {mean_loss:.4f}")
+        if eval_hook is not None and eval_every and (epoch + 1) % eval_every == 0:
+            # mid-training checkpoint eval (e.g. held-out IoU trajectory);
+            # the hook sees a plain variables dict and must not mutate it
+            eval_hook({"params": params, "batch_stats": batch_stats}, epoch + 1)
     return {"params": params, "batch_stats": batch_stats}, history
