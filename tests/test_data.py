@@ -117,6 +117,22 @@ def test_native_png_writer_pixel_exact(tmp_path):
         native.png_write(str(tmp_path / "bad.png"), img.astype(np.uint8)[..., :2])
 
 
+def test_native_io_flush_reports_failing_path(tmp_path):
+    """A failed async write must surface the PATH and errno through io_flush
+    (a bare failure count made real durability failures undiagnosable), and
+    the failure state must reset so the next barrier is clean."""
+    from weaklysuperviseddl_tpu import native
+
+    img = np.zeros((8, 8), np.uint8)
+    bad = str(tmp_path / "no_such_dir" / "x.png")  # parent dir doesn't exist
+    native.png_write_async(bad, img)
+    with pytest.raises(OSError, match="no_such_dir"):
+        native.io_flush()
+    # state cleared: a subsequent successful barrier must not re-raise
+    native.png_write_async(str(tmp_path / "ok.png"), img)
+    native.io_flush()
+
+
 def test_mask_store_uses_async_writer_and_flush(tmp_path):
     """MaskStore persistence goes through the native pool; flush() makes the
     directory readable and load() self-flushes pending writes."""

@@ -56,6 +56,9 @@ def _load():
     lib.wsdl_io_submit.restype = ctypes.c_int
     lib.wsdl_io_flush.argtypes = []
     lib.wsdl_io_flush.restype = ctypes.c_int
+    if hasattr(lib, "wsdl_io_flush_errors"):
+        lib.wsdl_io_flush_errors.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.wsdl_io_flush_errors.restype = ctypes.c_int
     lib.wsdl_png_write.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p]
     lib.wsdl_png_write.restype = ctypes.c_int
@@ -165,10 +168,22 @@ def png_write(path: str, arr: np.ndarray) -> None:
 
 
 def io_flush() -> None:
-    """Durability barrier: block until every queued PNG write completed."""
-    failures = _load().wsdl_io_flush()
-    if failures:
-        raise OSError(f"{failures} asynchronous PNG writes failed")
+    """Durability barrier: block until every queued PNG write completed.
+
+    Raises OSError naming the failed path(s) and errno — a durability
+    failure must be diagnosable, not just countable."""
+    lib = _load()
+    if hasattr(lib, "wsdl_io_flush_errors"):
+        buf = ctypes.create_string_buffer(4096)
+        failures = lib.wsdl_io_flush_errors(buf, len(buf))
+        if failures:
+            detail = buf.value.decode(errors="replace") or "(no detail)"
+            raise OSError(
+                f"{failures} asynchronous PNG writes failed:\n{detail}")
+    else:  # stale prebuilt library
+        failures = lib.wsdl_io_flush()
+        if failures:
+            raise OSError(f"{failures} asynchronous PNG writes failed")
 
 
 def keep_largest(mask: np.ndarray) -> np.ndarray:

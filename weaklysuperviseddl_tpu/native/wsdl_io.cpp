@@ -21,6 +21,7 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -98,17 +99,23 @@ std::vector<std::thread> g_workers;
 int g_active = 0;
 bool g_stop = false;
 std::atomic<int> g_failures{0};
+std::vector<std::string> g_failed;  // "<path>: <reason>", first few only
+constexpr size_t kMaxFailDetail = 8;
 int g_level = 1;
 
-bool write_file(const IoJob& job) {
+// Returns empty string on success, else a human-readable reason — a failed
+// durability barrier must name the file and errno, not just count failures.
+std::string write_file(const IoJob& job) {
   std::vector<uint8_t> png;
   if (!png_encode(job.H, job.W, job.C, job.pixels.data(), png, g_level))
-    return false;
+    return "PNG encode failed (bad shape or zlib error)";
   std::FILE* f = std::fopen(job.path.c_str(), "wb");
-  if (!f) return false;
+  if (!f) return std::string("fopen: ") + std::strerror(errno);
   size_t n = std::fwrite(png.data(), 1, png.size(), f);
-  std::fclose(f);
-  return n == png.size();
+  int close_rc = std::fclose(f);
+  if (n != png.size()) return "short write";
+  if (close_rc != 0) return std::string("fclose: ") + std::strerror(errno);
+  return "";
 }
 
 void worker_loop() {
@@ -122,11 +129,15 @@ void worker_loop() {
       g_queue.pop_front();
       g_active++;
     }
-    bool ok = write_file(job);
+    std::string err = write_file(job);
     {
       std::unique_lock<std::mutex> lk(g_mu);
       g_active--;
-      if (!ok) g_failures.fetch_add(1);
+      if (!err.empty()) {
+        g_failures.fetch_add(1);
+        if (g_failed.size() < kMaxFailDetail)
+          g_failed.push_back(job.path + ": " + err);
+      }
       if (g_queue.empty() && g_active == 0) g_done_cv.notify_all();
     }
   }
@@ -188,6 +199,28 @@ int wsdl_io_submit(const char* path, int H, int W, int C,
 int wsdl_io_flush() {
   std::unique_lock<std::mutex> lk(g_mu);
   g_done_cv.wait(lk, [] { return g_queue.empty() && g_active == 0; });
+  g_failed.clear();
+  return g_failures.exchange(0);
+}
+
+// Durability barrier with diagnostics: like wsdl_io_flush, but first copies
+// "<path>: <reason>" lines (newline-joined, first few failures) into `buf`.
+int wsdl_io_flush_errors(char* buf, int cap) {
+  std::unique_lock<std::mutex> lk(g_mu);
+  g_done_cv.wait(lk, [] { return g_queue.empty() && g_active == 0; });
+  if (buf && cap > 0) {
+    std::string joined;
+    for (const auto& s : g_failed) {
+      if (!joined.empty()) joined += "\n";
+      joined += s;
+    }
+    size_t n = joined.size() < static_cast<size_t>(cap - 1)
+                   ? joined.size()
+                   : static_cast<size_t>(cap - 1);
+    std::memcpy(buf, joined.data(), n);
+    buf[n] = '\0';
+  }
+  g_failed.clear();
   return g_failures.exchange(0);
 }
 
@@ -200,7 +233,7 @@ int wsdl_png_write(const char* path, int H, int W, int C,
   job.path = path;
   job.H = H; job.W = W; job.C = C;
   job.pixels.assign(pixels, pixels + static_cast<size_t>(H) * W * C);
-  return write_file(job) ? 0 : -1;
+  return write_file(job).empty() ? 0 : -1;
 }
 
 // Stop the pool (joins workers after draining the queue).
