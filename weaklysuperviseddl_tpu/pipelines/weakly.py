@@ -243,7 +243,8 @@ def run_weakly_supervised_alternating(
     trajectory: list = []
     state, store = run_alternating_training(
         seg_model, result.seg_state, tx, result.mask_store, cfg,
-        eval_fn=eval_fn, checkpoint_dir=checkpoint_dir,
+        eval_fn=eval_fn, eval_images=int(test_arrays[0].shape[0]),
+        checkpoint_dir=checkpoint_dir,
         start_iteration=start_iteration,
         mesh=mesh_from_config(cfg.mesh), stopwatch=stopwatch,
         trajectory=trajectory, log=log,

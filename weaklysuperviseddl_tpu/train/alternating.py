@@ -150,6 +150,7 @@ def run_alternating_training(
     store: MaskStore,
     cfg: ExperimentConfig,
     eval_fn=None,
+    eval_images: int = 0,
     checkpoint_dir: str | None = None,
     start_iteration: int = 0,
     mesh=None,
@@ -201,7 +202,9 @@ def run_alternating_training(
                 log=log,
             )
         if eval_fn is not None:
-            with sw.phase("eval"):
+            # eval_images: the eval-set size, so the recorded img/s covers
+            # every per-alternation eval, not just the pipeline's initial one
+            with sw.phase("eval", images=eval_images):
                 avg_iou, avg_acc = eval_fn(state)
             if trajectory is not None:
                 trajectory.append({"alternation": iteration + 1,
