@@ -265,6 +265,7 @@ def main():
     # uint8 → preprocess → DeepLabV3 forward → argmax masks, measured in-jit
     # (chip rate; the relay-transfer-bound end-to-end number is in BASELINE.md)
     serve_rate = serve_int8_rate = None
+    serve_dispatch_p50_ms = serve_dispatch_p99_ms = None
     if os.environ.get("WSDL_BENCH_SERVE", "0" if small else "1") == "1":
         from weaklysuperviseddl_tpu.data.preprocess import preprocess_batch
         from weaklysuperviseddl_tpu.ops.quant import Int8Quantizer
@@ -299,6 +300,19 @@ def main():
         q.observe(srv_imgs)
         qfn, _report = q.build()
         serve_int8_rate = serve_scan(qfn)
+
+        # per-dispatch latency of the server's dispatch unit (int8, packed
+        # batch): the device-side component of the serving SLO. The full
+        # HTTP p50/p99-vs-load table is E2E_SERVE_LATENCY.json / BASELINE.md.
+        jfn = jax.jit(qfn)
+        np.asarray(jfn(srv_imgs))  # compile
+        lat = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            np.asarray(jfn(srv_imgs))
+            lat.append(time.perf_counter() - t0)
+        serve_dispatch_p50_ms = float(np.percentile(lat, 50) * 1e3)
+        serve_dispatch_p99_ms = float(np.percentile(lat, 99) * 1e3)
 
     cycle2 = 1.0 / (1.0 / cam_rate + 1.0 / seg_rate)
     cycle = 1.0 / (
@@ -355,6 +369,12 @@ def main():
             "serve_img_per_s": round(serve_rate, 2) if serve_rate else None,
             "serve_int8_img_per_s": (
                 round(serve_int8_rate, 2) if serve_int8_rate else None),
+            "serve_dispatch_p50_ms": (
+                round(serve_dispatch_p50_ms, 2)
+                if serve_dispatch_p50_ms is not None else None),
+            "serve_dispatch_p99_ms": (
+                round(serve_dispatch_p99_ms, 2)
+                if serve_dispatch_p99_ms is not None else None),
             "cam_batch": cam_batch,
             "seg_batch": seg_batch,
             "refine_batch": ref_batch,
