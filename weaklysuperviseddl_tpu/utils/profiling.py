@@ -105,7 +105,14 @@ def phase(name: str, log=print):
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto.
+
+    WARNING (shared remote relays, e.g. axon): start_trace attaches the
+    profiler to EVERY backend the plugin registry knows, including a remote
+    TPU backend other processes are using — measured here to abort a
+    concurrent training run with FAILED_PRECONDITION and wedge the relay's
+    device session for ~10 minutes. Only use on exclusively-owned devices.
+    """
     jax.profiler.start_trace(log_dir)
     try:
         yield
