@@ -44,21 +44,30 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
         bodies.append(buf.getvalue())
 
     latencies: list[float] = []
+    errors: list[str] = []
     lock = threading.Lock()
     stop_at = time.perf_counter() + duration_s
 
     def client(cid: int):
+        # a failed request is recorded and the client keeps offering load —
+        # a silently dead thread would shrink the offered concurrency and
+        # overstate the published SLO
         rng = np.random.default_rng(cid)
-        local = []
+        local, local_err = [], []
         while time.perf_counter() < stop_at:
             body = bodies[int(rng.integers(len(bodies)))]
             t0 = time.perf_counter()
-            req = urllib.request.Request(url, data=body, method="POST")
-            with urllib.request.urlopen(req, timeout=120) as r:
-                r.read()
+            try:
+                req = urllib.request.Request(url, data=body, method="POST")
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+            except Exception as e:  # noqa: BLE001 — record, keep driving
+                local_err.append(f"{type(e).__name__}: {e}")
+                continue
             local.append(time.perf_counter() - t0)
         with lock:
             latencies.extend(local)
+            errors.extend(local_err)
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(concurrency)]
@@ -68,7 +77,7 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
     for t in threads:
         t.join()
     elapsed = time.perf_counter() - t_start
-    return latencies, elapsed
+    return latencies, errors, elapsed
 
 
 def main():
@@ -117,20 +126,29 @@ def main():
     rows = []
     try:
         for conc in [int(c) for c in args.concurrencies.split(",")]:
-            n0 = len(server.dispatch_sizes)
-            lats, elapsed = drive_clients(url, images[:8], conc, args.duration)
-            sizes = server.dispatch_sizes[n0:]
-            lats_ms = np.asarray(sorted(lats)) * 1e3
+            server.drain_dispatch_sizes()  # attribute dispatches per level
+            lats, errs, elapsed = drive_clients(
+                url, images[:8], conc, args.duration)
+            sizes = server.drain_dispatch_sizes()
             row = {
                 "concurrency": conc,
                 "requests": len(lats),
+                "errors": len(errs),
                 "throughput_img_per_s": round(len(lats) / elapsed, 1),
-                "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
-                "p90_ms": round(float(np.percentile(lats_ms, 90)), 1),
-                "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
                 "mean_coalesced_batch": round(float(np.mean(sizes)), 2) if sizes else 0,
                 "max_coalesced_batch": int(np.max(sizes)) if sizes else 0,
             }
+            if lats:
+                lats_ms = np.asarray(sorted(lats)) * 1e3
+                row.update({
+                    "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
+                    "p90_ms": round(float(np.percentile(lats_ms, 90)), 1),
+                    "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
+                })
+            if errs:
+                row["first_errors"] = errs[:3]
+                print(f"WARNING: {len(errs)} failed requests at "
+                      f"concurrency {conc}", flush=True)
             rows.append(row)
             print(json.dumps(row), flush=True)
     finally:
@@ -151,12 +169,13 @@ def main():
         json.dump(record, f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
-    print("\n| clients | req/s | p50 ms | p90 ms | p99 ms | mean batch |")
-    print("|---|---|---|---|---|---|")
+    print("\n| clients | req/s | p50 ms | p90 ms | p99 ms | mean batch | errors |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['concurrency']} | {r['throughput_img_per_s']} | "
-              f"{r['p50_ms']} | {r['p90_ms']} | {r['p99_ms']} | "
-              f"{r['mean_coalesced_batch']} |")
+              f"{r.get('p50_ms', '—')} | {r.get('p90_ms', '—')} | "
+              f"{r.get('p99_ms', '—')} | {r['mean_coalesced_batch']} | "
+              f"{r['errors']} |")
 
 
 if __name__ == "__main__":

@@ -105,8 +105,11 @@ def main():
     trajectory = []
 
     def eval_hook(vars_now, epoch):
-        iou_tr, _ = engine_iou(train_ds, vars_now, n_train_eval)
-        iou_ho, _ = engine_iou(held_ds, vars_now, args.holdout)
+        # hooks run mid-training, INSIDE the train phase: time them in their
+        # own phase so the train rate can be reported net of evaluation
+        with sw.phase("eval_trajectory", images=n_train_eval + args.holdout):
+            iou_tr, _ = engine_iou(train_ds, vars_now, n_train_eval)
+            iou_ho, _ = engine_iou(held_ds, vars_now, args.holdout)
         trajectory.append({"epoch": epoch, "train_iou": round(iou_tr, 4),
                            "held_out_iou": round(iou_ho, 4)})
         print(f"  epoch {epoch}: engine IoU train {iou_tr:.4f} "
@@ -152,6 +155,16 @@ def main():
         "phases": {n: {"seconds": round(sw.times[n], 3),
                        "img_per_s": round(sw.rate(n), 2)} for n in sw.times},
     }
+    # the eval_trajectory hooks run inside the train phase's wall clock;
+    # report the trainer's own rate net of them
+    eval_s = sw.times.get("eval_trajectory", 0.0)
+    if eval_s and sw.times["train"] > eval_s:
+        net = sw.times["train"] - eval_s
+        record["phases"]["train"] = {
+            "seconds": round(net, 3),
+            "img_per_s": round(n_pad * args.epochs / net, 2),
+            "note": "net of the eval_trajectory hooks that run mid-phase",
+        }
     sw.report()
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)

@@ -148,6 +148,41 @@ def test_save_alternation_crash_atomic(tmp_path, monkeypatch):
     assert latest_alternation(str(tmp_path)) == 0
 
 
+def test_precheckpoint_drain_attributes_failures(tmp_path):
+    """save_alternation's leftover-.tmp drain swallows ONLY failures inside
+    the aborted snapshot dir: io_flush is a global barrier, so a failed
+    async write belonging to any other directory (e.g. the live mask store)
+    is a real durability error and must propagate, not be cleared."""
+    from weaklysuperviseddl_tpu.data.mask_store import MaskStore, _native_io
+    from weaklysuperviseddl_tpu.utils.checkpoint import save_alternation
+
+    nat = _native_io()
+    if nat is None:
+        pytest.skip("native IO library unavailable")
+
+    state = _tiny_seg_state()
+    store = MaskStore()
+    store.put("0000", np.zeros((16, 16, 3), np.uint8), np.ones((16, 16), np.uint8))
+
+    img = np.zeros((8, 8), np.uint8)
+    tmp_dir = os.path.join(str(tmp_path), "alt_000.tmp")
+
+    # failure OUTSIDE the leftover snapshot → must raise and not commit
+    os.makedirs(tmp_dir)
+    foreign = str(tmp_path / "live_store" / "x.png")  # parent doesn't exist
+    nat.png_write_async(foreign, img)
+    with pytest.raises(OSError, match="live_store"):
+        save_alternation(str(tmp_path), 0, state, store)
+    assert not os.path.exists(os.path.join(str(tmp_path), "alt_000"))
+
+    # failure INSIDE the leftover snapshot → expected, swallowed, committed
+    os.makedirs(tmp_dir, exist_ok=True)
+    nat.png_write_async(os.path.join(tmp_dir, "gone", "y.png"), img)
+    alt_dir = save_alternation(str(tmp_path), 0, state, store)
+    assert os.path.isdir(alt_dir)
+    assert not os.path.exists(tmp_dir)
+
+
 def test_resume_requires_checkpoints(tmp_path):
     """resume=True must fail loudly instead of silently re-running the full
     expensive prefix (ADVICE r3)."""

@@ -252,7 +252,11 @@ def test_mask_server_http_round_trip():
     model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
     state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
     pred = Predictor(model, state, size=48, max_batch=4).warmup()
-    server = pred.serve_http(max_wait_ms=100.0)
+    # Coalescing must be deterministic for the assertion below: clients
+    # synchronize on a barrier immediately before POSTing, and the window is
+    # wide enough that a loaded 1-core CI host cannot spread the arrivals
+    # past it (the dispatch still returns early the moment max_batch fills).
+    server = pred.serve_http(max_wait_ms=1000.0)
     try:
         url = f"http://127.0.0.1:{server.port}/predict"
         rng = np.random.default_rng(5)
@@ -260,12 +264,15 @@ def test_mask_server_http_round_trip():
         want = np.concatenate([pred(imgs[:4]), pred(imgs[4:])])
 
         results = [None] * len(imgs)
+        ready = threading.Barrier(len(imgs))
 
         def post(i):
             buf = io.BytesIO()
             np.save(buf, imgs[i])
+            body = buf.getvalue()
+            ready.wait(timeout=30)
             with urllib.request.urlopen(
-                    urllib.request.Request(url, data=buf.getvalue(),
+                    urllib.request.Request(url, data=body,
                                            method="POST"), timeout=30) as r:
                 results[i] = np.load(io.BytesIO(r.read()), allow_pickle=False)
 
@@ -277,10 +284,12 @@ def test_mask_server_http_round_trip():
             t.join(timeout=60)
         for i in range(len(imgs)):
             np.testing.assert_array_equal(results[i], want[i])
-        # micro-batching observed: 6 concurrent posts within the 100 ms
+        # micro-batching observed: 6 barrier-synchronized posts within the
         # window must coalesce into at least one multi-request dispatch
-        assert max(server.dispatch_sizes) > 1, server.dispatch_sizes
-        assert sum(server.dispatch_sizes) == len(imgs)
+        sizes = server.drain_dispatch_sizes()
+        assert max(sizes) > 1, sizes
+        assert sum(sizes) == len(imgs)
+        assert not server.dispatch_sizes  # drained
 
         try:
             urllib.request.urlopen(

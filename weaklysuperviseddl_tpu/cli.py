@@ -273,7 +273,16 @@ def main(argv=None):
             if args.calib_dir:
                 from PIL import Image
 
-                files = sorted(os.listdir(args.calib_dir))[: args.max_batch]
+                exts = {".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp"}
+                files = sorted(
+                    f for f in os.listdir(args.calib_dir)
+                    if os.path.isfile(os.path.join(args.calib_dir, f))
+                    and os.path.splitext(f)[1].lower() in exts
+                )[: args.max_batch]
+                if not files:
+                    parser.error(
+                        f"--calib-dir {args.calib_dir} contains no image "
+                        f"files ({'/'.join(sorted(exts))})")
                 calib = np.stack([
                     np.asarray(Image.open(os.path.join(args.calib_dir, f))
                                .convert("RGB").resize((size, size)), np.uint8)
@@ -281,6 +290,10 @@ def main(argv=None):
             else:
                 from weaklysuperviseddl_tpu.data import download_data
 
+                print("WARNING: --int8 with no --calib-dir calibrates "
+                      "activation scales on SYNTHETIC images; pass "
+                      "--calib-dir with production-like images (or "
+                      "--no-int8) for a real deployment", flush=True)
                 ds = download_data(None, split="test",
                                    synthetic_size=args.max_batch,
                                    image_size=size)
@@ -289,7 +302,21 @@ def main(argv=None):
             print("calibrating int8 PTQ "
                   f"({'dir' if args.calib_dir else 'synthetic'}, "
                   f"{calib.shape[0]} images)...")
+            # quality gate: int8 masks must agree with the float program on
+            # the calibration batch, else serve the float program instead —
+            # a silently degraded default is worse than a slower one
+            ref_masks = pred(calib)
             pred.quantize(calib)
+            agree = float(np.mean(pred(calib) == ref_masks))
+            if agree < 0.99:
+                pred._quantized = None
+                print(f"WARNING: int8/float mask agreement {agree:.4f} < "
+                      "0.99 on the calibration batch — falling back to the "
+                      "float serving program (check calibration coverage)",
+                      flush=True)
+            else:
+                print(f"int8/float mask agreement on calibration batch: "
+                      f"{agree:.4f}", flush=True)
         pred.warmup()
         server = pred.serve_http(port=0 if args.smoke else args.port)
         print(f"serving uint8 [h,w,3] → {size}² masks on "

@@ -42,6 +42,27 @@ def _host_resize_nearest(mask: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(Image.fromarray(mask).resize((size, size), Image.NEAREST), np.uint8)
 
 
+def _is_uniform(dataset) -> bool:
+    """True when every decoded image shares one shape (stackable as-is).
+
+    Checks EVERY shape — ``images`` holds decoded arrays, so this is a
+    metadata scan, and real Pet has runs of same-shape decodes (500×375 is
+    common) that a first-K sample would mistake for a uniform dataset."""
+    first = dataset.images[0].shape if len(dataset) else None
+    return all(img.shape == first for img in dataset.images)
+
+
+def _sample_at(dataset, i: int, uniform: bool, stack_size: int):
+    """(image, trimap) at index i, host-resized iff the dataset is ragged —
+    the ONE resize policy behind both ``batches`` and ``stack_dataset`` (the
+    'identical pixels' parity contract of the resident-vs-loader evals)."""
+    img, tri = dataset.images[i], dataset.trimaps[i]
+    if not uniform:
+        img = _host_resize(img, stack_size)
+        tri = _host_resize_nearest(tri, stack_size)
+    return img, tri
+
+
 def batches(
     dataset,
     batch_size: int,
@@ -63,9 +84,7 @@ def batches(
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
 
-    uniform = all(
-        dataset.images[i].shape == dataset.images[0].shape for i in range(min(n, 8))
-    )
+    uniform = _is_uniform(dataset)
     ss = stack_size or 256
 
     for start in range(0, n, batch_size):
@@ -74,10 +93,7 @@ def batches(
             return
         imgs, tris = [], []
         for i in idx:
-            img, tri = dataset.images[i], dataset.trimaps[i]
-            if not uniform:
-                img = _host_resize(img, ss)
-                tri = _host_resize_nearest(tri, ss)
+            img, tri = _sample_at(dataset, i, uniform, ss)
             imgs.append(img)
             tris.append(tri)
         num_valid = len(idx)
@@ -104,16 +120,11 @@ def stack_dataset(dataset, stack_size: int | None = None):
     parity contract behind evaluate_segmentation_dataset == the loader eval
     (tests/test_train.py)."""
     n = len(dataset)
-    uniform = all(
-        dataset.images[i].shape == dataset.images[0].shape for i in range(min(n, 8))
-    )
+    uniform = _is_uniform(dataset)
     ss = stack_size or 256
     imgs, tris = [], []
     for i in range(n):
-        img, tri = dataset.images[i], dataset.trimaps[i]
-        if not uniform:
-            img = _host_resize(img, ss)
-            tri = _host_resize_nearest(tri, ss)
+        img, tri = _sample_at(dataset, i, uniform, ss)
         imgs.append(img)
         tris.append(tri)
     return (

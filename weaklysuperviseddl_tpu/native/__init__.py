@@ -167,23 +167,29 @@ def png_write(path: str, arr: np.ndarray) -> None:
         raise OSError(f"wsdl_png_write failed for {path}")
 
 
+def io_flush_report() -> tuple[int, list[str]]:
+    """Durability barrier that REPORTS instead of raising: block until every
+    queued PNG write completed, then return (failure_count, detail_lines)
+    where each detail line is "<path>: <reason>" (first few failures only —
+    count > len(lines) means some failures carry no path detail)."""
+    lib = _load()
+    if hasattr(lib, "wsdl_io_flush_errors"):
+        buf = ctypes.create_string_buffer(4096)
+        failures = lib.wsdl_io_flush_errors(buf, len(buf))
+        detail = buf.value.decode(errors="replace")
+        return failures, [ln for ln in detail.splitlines() if ln]
+    return lib.wsdl_io_flush(), []  # stale prebuilt library
+
+
 def io_flush() -> None:
     """Durability barrier: block until every queued PNG write completed.
 
     Raises OSError naming the failed path(s) and errno — a durability
     failure must be diagnosable, not just countable."""
-    lib = _load()
-    if hasattr(lib, "wsdl_io_flush_errors"):
-        buf = ctypes.create_string_buffer(4096)
-        failures = lib.wsdl_io_flush_errors(buf, len(buf))
-        if failures:
-            detail = buf.value.decode(errors="replace") or "(no detail)"
-            raise OSError(
-                f"{failures} asynchronous PNG writes failed:\n{detail}")
-    else:  # stale prebuilt library
-        failures = lib.wsdl_io_flush()
-        if failures:
-            raise OSError(f"{failures} asynchronous PNG writes failed")
+    failures, lines = io_flush_report()
+    if failures:
+        detail = "\n".join(lines) or "(no detail)"
+        raise OSError(f"{failures} asynchronous PNG writes failed:\n{detail}")
 
 
 def keep_largest(mask: np.ndarray) -> np.ndarray:

@@ -237,8 +237,20 @@ class MaskServer:
         self._threads = []
         self._queue = None
         # per-dispatch coalesced batch sizes (observability: micro-batching
-        # under load is a measured property, tests/bench assert on it)
-        self.dispatch_sizes: list[int] = []
+        # under load is a measured property, tests/bench assert on it).
+        # Bounded: a long-lived server must not accumulate one entry per
+        # dispatch forever (the same rationale as the BoundedCache program
+        # memos); 65536 dispatches of history is plenty for any probe window.
+        from collections import deque
+
+        self.dispatch_sizes: deque[int] = deque(maxlen=65536)
+
+    def drain_dispatch_sizes(self) -> list[int]:
+        """Return and clear the recorded per-dispatch batch sizes — the
+        race-free way for a probe to attribute dispatches to its own window."""
+        sizes = list(self.dispatch_sizes)
+        self.dispatch_sizes.clear()
+        return sizes
 
     @property
     def port(self) -> int:
@@ -254,7 +266,7 @@ class MaskServer:
         pred = self.predictor
         q = self._queue = queue.Queue()
         max_wait_s = self.max_wait_ms / 1e3
-        self_outer = self
+        dispatch_sizes = self.dispatch_sizes
 
         class _Job:
             __slots__ = ("img", "event", "result", "error")
@@ -289,7 +301,7 @@ class MaskServer:
                 for jobs in groups.values():
                     for s in range(0, len(jobs), pred.max_batch):
                         chunk = jobs[s : s + pred.max_batch]
-                        self_outer.dispatch_sizes.append(len(chunk))
+                        dispatch_sizes.append(len(chunk))
                         try:
                             masks = pred(np.stack([b.img for b in chunk]))
                             for b, m in zip(chunk, masks):

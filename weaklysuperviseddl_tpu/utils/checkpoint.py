@@ -167,17 +167,25 @@ def save_alternation(root: str, iteration: int, state, store) -> str:
     tmp_dir = alt_dir + ".tmp"
     if os.path.exists(tmp_dir):  # leftover from a previous crash
         # Drain the async PNG queue before deleting: in-flight writes into
-        # the leftover dir would fail mid-rmtree, and any failures already
-        # recorded belong to the aborted snapshot, not the one about to be
-        # written — they must not poison this snapshot's durability barrier.
+        # the leftover dir would fail mid-rmtree, and failures recorded for
+        # the aborted snapshot must not poison this snapshot's durability
+        # barrier. But the flush is a GLOBAL barrier — failures for any path
+        # OUTSIDE the leftover dir (e.g. the live mask store's async writes)
+        # are real durability errors and must propagate, so only failures
+        # fully attributed to the tmp dir are swallowed.
         from weaklysuperviseddl_tpu.data.mask_store import _native_io
 
         nat = _native_io()
         if nat is not None:
-            try:
-                nat.io_flush()
-            except OSError:
-                pass  # aborted-snapshot write failures are expected here
+            failures, lines = nat.io_flush_report()
+            prefix = tmp_dir + os.sep
+            foreign = [ln for ln in lines if not ln.startswith(prefix)]
+            if foreign or failures > len(lines):
+                raise OSError(
+                    f"{failures} asynchronous PNG writes failed during the "
+                    f"pre-checkpoint drain, not all attributable to the "
+                    f"aborted snapshot {tmp_dir}:\n" + "\n".join(
+                        foreign or ["(failures beyond the detail cap)"]))
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
     save_state(os.path.join(tmp_dir, "state"), seg_state_tree(state))
