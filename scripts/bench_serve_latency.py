@@ -117,7 +117,7 @@ def main():
         report = pred.quantize(images)
         print(f"int8: {report}", flush=True)
     print("warmup...", flush=True)
-    pred.warmup()
+    pred.warmup(all_buckets=True)
 
     server = pred.serve_http(max_wait_ms=args.max_wait_ms)
     url = f"http://127.0.0.1:{server.port}/predict"

@@ -139,6 +139,43 @@ def test_serving_predictor():
     assert set(np.unique(masks)).issubset({0, 1})
 
 
+def test_predictor_bucket_padding():
+    """Ragged requests pad to the next pow-2 bucket, not to max_batch —
+    the per-request upload bytes are the serving latency bound through the
+    relay (BASELINE.md round-4 serving table)."""
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    pred = Predictor(model, state, size=48, max_batch=8)
+    assert [pred._bucket(n) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+    assert pred.buckets() == [1, 2, 4, 8]
+
+    dispatched = []
+    orig = pred._dispatch
+
+    def spy(images):
+        dispatched.append(images.shape[0])
+        return orig(images)
+
+    pred._dispatch = spy
+    rng = np.random.default_rng(2)
+    imgs = (rng.uniform(0, 1, (5, 48, 48, 3)) * 255).astype(np.uint8)
+    full = pred(imgs)
+    ragged = np.concatenate([pred(imgs[:3]), pred(imgs[3:])])
+    np.testing.assert_array_equal(full, ragged)
+    assert dispatched == [8, 4, 2]  # 5→8, 3→4, 2→2
+
+    # non-pow2 max_batch: the top bucket is max_batch itself
+    pred6 = Predictor(model, state, size=48, max_batch=6)
+    assert [pred6._bucket(n) for n in (4, 5, 6)] == [4, 6, 6]
+    assert pred6.buckets() == [1, 2, 4, 6]
+
+
 def test_serving_predictor_int8():
     """Predictor.quantize swaps the program for the int8 PTQ rewrite
     (ops/quant.py) without changing the serving contract."""

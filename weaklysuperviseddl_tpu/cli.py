@@ -317,7 +317,7 @@ def main(argv=None):
             else:
                 print(f"int8/float mask agreement on calibration batch: "
                       f"{agree:.4f}", flush=True)
-        pred.warmup()
+        pred.warmup(all_buckets=True)
         server = pred.serve_http(port=0 if args.smoke else args.port)
         print(f"serving uint8 [h,w,3] → {size}² masks on "
               f"http://127.0.0.1:{server.port}/predict (np.save bodies)")
