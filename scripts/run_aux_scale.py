@@ -52,7 +52,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_AUX_PIPELINES.json"))
     args = ap.parse_args()
 
-    from weaklysuperviseddl_tpu.utils.profiling import Stopwatch, enable_compile_cache
+    from weaklysuperviseddl_tpu.utils.profiling import (
+        Stopwatch, enable_compile_cache, warmup_device)
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -80,8 +81,7 @@ def main():
 
     with sw.phase("device_warmup"):
         dev = jax.devices()[0]
-        print(f"device: {dev}", flush=True)
-        float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+        warmup_device()
     record["protocol"]["device"] = f"{dev.platform} {dev.device_kind}"
 
     cfg = ExperimentConfig(

@@ -70,7 +70,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_REFERENCE_SCALE.json"))
     args = ap.parse_args()
 
-    from weaklysuperviseddl_tpu.utils.profiling import Stopwatch, enable_compile_cache
+    from weaklysuperviseddl_tpu.utils.profiling import (
+        Stopwatch, enable_compile_cache, warmup_device)
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -111,11 +112,10 @@ def main():
     sw = Stopwatch()
     t_start = time.perf_counter()
     # first device contact on the axon relay can stall for minutes (tunnel
-    # handshake); pay it in its own phase so the pipeline phases measure the
-    # pipeline, not the relay
+    # handshake / a concurrent holder); pay it in its own phase so the
+    # pipeline phases measure the pipeline, not the relay
     with sw.phase("device_warmup"):
-        print(f"device: {jax.devices()[0]}", flush=True)
-        float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+        warmup_device()
 
     with sw.phase("data", images=args.images):
         train_ds, val_ds = load_split_data(

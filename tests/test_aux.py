@@ -276,6 +276,23 @@ def test_stopwatch_marginal_rate_excludes_first_call():
     assert sw.first_call_s("seg") >= 0.05  # unchanged by later calls
 
 
+def test_warmup_device_reports_and_warns():
+    """warmup_device pays the first dispatch, returns its wall seconds, and
+    attributes a slow attach (the 704 s relay-queueing incident in the
+    round-4 aux record) instead of stalling silently."""
+    from weaklysuperviseddl_tpu.utils.profiling import warmup_device
+
+    lines = []
+    dt = warmup_device(log=lines.append)
+    assert dt >= 0.0
+    assert any(s.startswith("device:") for s in lines)
+    assert not any("warmup took" in s for s in lines)  # CPU attach is fast
+
+    lines = []
+    warmup_device(warn_after_s=0.0, log=lines.append)
+    assert any("warmup took" in s and "relay" in s for s in lines)
+
+
 def test_foundation_real_sam_backend_from_config():
     """The REAL hf_segmenter (transformers SamProcessor -> SamModel forward ->
     pred_masks[:,0]) runs end-to-end through the pipeline with from-config

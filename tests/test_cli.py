@@ -36,6 +36,24 @@ def test_deep_config_overrides():
     assert cfg.alternating.num_alternations == 10
 
 
+def test_weakly_timings_record(tmp_path, capsys):
+    """`weakly --timings-out` writes the E2E record from the shipped entry
+    point itself: cmd string, per-phase timings (including the attributed
+    device_warmup phase), and final metrics."""
+    import json
+
+    from weaklysuperviseddl_tpu.cli import main
+
+    out = tmp_path / "timings.json"
+    assert main(["weakly", "--smoke", "--timings-out", str(out)]) in (0, None)
+    record = json.loads(out.read_text())
+    assert record["cmd"].startswith("python -m weaklysuperviseddl_tpu weakly")
+    assert "device_warmup" in record["phases"]
+    assert record["phases"]["device_warmup"]["seconds"] >= 0.0
+    assert record["wall_clock_s"] > 0
+    assert 0.0 <= record["metrics"]["iou"] <= 1.0
+
+
 def test_serve_smoke_round_trip(capsys):
     """`serve --smoke` starts the HTTP front, self-requests one mask, and
     exits 0 — the driveable deployment path."""

@@ -146,14 +146,12 @@ def main(argv=None):
         t0 = time.perf_counter()
         if args.timings_out:
             # first device contact on an attached relay can stall for minutes
-            # (tunnel handshake); pay it in its own phase so the pipeline
-            # phases measure the pipeline, not the relay
-            import jax
-            import jax.numpy as jnp
+            # (tunnel handshake / a concurrent holder); pay it in its own
+            # phase so the pipeline phases measure the pipeline, not the relay
+            from weaklysuperviseddl_tpu.utils.profiling import warmup_device
 
             with sw.phase("device_warmup"):
-                print(f"device: {jax.devices()[0]}", flush=True)
-                float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+                warmup_device()
         if args.alternating or args.resume:
             from weaklysuperviseddl_tpu.pipelines import (
                 run_weakly_supervised_alternating,

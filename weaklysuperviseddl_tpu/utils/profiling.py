@@ -96,6 +96,37 @@ class Stopwatch:
         return self.calls[name][0][0] if self.calls[name] else None
 
 
+def warmup_device(warn_after_s: float = 60.0, log=print) -> float:
+    """Pay the first-dispatch cost of an attached device and attribute it.
+
+    On a shared remote relay (axon) the first dispatch of a process covers
+    session establishment AND any queueing behind whoever currently holds the
+    single-chip device — measured here from ~25 s (healthy) to 704 s (relay
+    held by a concurrent run; see BASELINE.md's round-4 aux re-record note).
+    Long pipelines should pay this in its own phase so their stage timings
+    measure the pipeline; when it exceeds `warn_after_s` this prints what is
+    almost certainly going on instead of leaving a silent multi-minute stall.
+
+    Returns the measured first-dispatch wall seconds.
+    """
+    import jax.numpy as jnp
+
+    _log = (lambda m: print(m, flush=True)) if log is print else log
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+    t0 = time.perf_counter()
+    float(jax.jit(lambda x: x + 1)(jnp.float32(0)))
+    dt = time.perf_counter() - t0
+    if dt > warn_after_s:
+        _log(
+            f"[profile] device warmup took {dt:.0f}s — on a shared relay this "
+            "is queueing behind another process holding the device session "
+            "(or a stalled/stopped client that never released it), not "
+            "pipeline cost; subsequent dispatches run at the normal floor"
+        )
+    return dt
+
+
 @contextlib.contextmanager
 def phase(name: str, log=print):
     t0 = time.perf_counter()
