@@ -209,6 +209,42 @@ def test_serving_predictor_int8():
     assert agreement > 0.95, f"int8 serving agreement {agreement:.4f}"
 
 
+def test_serving_predictor_quantize_state_path(tmp_path):
+    """quantize(state_path=…) writes the calibration artifact on first run
+    and a restarted Predictor loads it — no calibration images needed — and
+    serves identical masks."""
+    import jax
+    import numpy as np
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    path = str(tmp_path / "calib.json")
+
+    rng = np.random.default_rng(1)
+    calib = (rng.uniform(0, 1, (8, 48, 48, 3)) * 255).astype(np.uint8)
+    pred1 = Predictor(model, state, size=48, max_batch=4)
+    report1 = pred1.quantize(calib, state_path=path)
+    import os
+    assert os.path.exists(path)
+
+    # "restart": fresh Predictor, no images — the artifact is the calibration
+    pred2 = Predictor(model, state, size=48, max_batch=4)
+    report2 = pred2.quantize(state_path=path)
+    assert [r["act_scale"] for r in report2.rows] == [
+        r["act_scale"] for r in report1.rows]
+    imgs = (rng.uniform(0, 1, (3, 48, 48, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(pred1(imgs), pred2(imgs))
+
+    # without the file and without images quantize must refuse
+    pred3 = Predictor(model, state, size=48, max_batch=4)
+    import pytest
+    with pytest.raises(ValueError, match="calibration_images"):
+        pred3.quantize(state_path=str(tmp_path / "missing.json"))
+
+
 def test_serving_packed_and_pipelined_match_per_call():
     """pack_binary_masks round-trips through np.unpackbits, and the packed /
     pipelined (predict_many) paths produce exactly the per-call masks,

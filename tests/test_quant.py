@@ -202,6 +202,48 @@ def test_quant_fuzz_random_graphs(seed):
     assert rel < 0.15, (kinds, rel)
 
 
+def test_calibration_state_roundtrip_and_fingerprint():
+    """calibration_state() → JSON → load_calibration() reproduces the exact
+    quantized program (same scales, same outputs) without any observe pass;
+    a structurally different graph rejects the state."""
+    import json
+
+    fn = _tiny_cnn()
+    batches = _batches()
+    q1 = Int8Quantizer(fn, batches[0])
+    for b in batches:
+        q1.observe(*b)
+    qfn1, report1 = q1.build()
+    state = json.loads(json.dumps(q1.calibration_state()))  # JSON-portable
+
+    q2 = Int8Quantizer(fn, batches[0])
+    q2.load_calibration(state)
+    qfn2, report2 = q2.build()
+    assert [r["act_scale"] for r in report2.rows] == [
+        r["act_scale"] for r in report1.rows]
+    x = _batches(n=1, seed=9)[0][0]
+    np.testing.assert_array_equal(np.asarray(qfn1(x)), np.asarray(qfn2(x)))
+
+    # a different graph (extra output projection) must reject the state
+    wd2 = jnp.asarray(np.eye(5, 3, dtype=np.float32))
+
+    def other(x):
+        return fn(x) @ wd2
+
+    q3 = Int8Quantizer(other, batches[0])
+    with pytest.raises(ValueError, match="does not match"):
+        q3.load_calibration(state)
+
+    # corrupted / uncalibrated states are rejected too
+    q4 = Int8Quantizer(fn, batches[0])
+    with pytest.raises(ValueError, match="version"):
+        q4.load_calibration({**state, "version": 2})
+    with pytest.raises(ValueError, match="uncalibrated"):
+        q4.load_calibration({**state, "amax": [0.0] * state["n_targets"]})
+    with pytest.raises(ValueError, match="finite non-negative"):
+        q4.load_calibration({**state, "amax": [-1.0] + state["amax"][1:]})
+
+
 def test_deeplab_serving_quality_after_quantization():
     """End-to-end: train a small DeepLabV3 on synthetic data, quantize the
     serving forward, and require near-perfect mask agreement with fp32."""

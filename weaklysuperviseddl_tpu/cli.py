@@ -118,6 +118,11 @@ def main(argv=None):
     parser.add_argument("--calib-dir", default=None,
                         help="serve: directory of calibration PNGs/JPGs for "
                              "--int8 (synthetic calibration if omitted)")
+    parser.add_argument("--calib-state", default=None,
+                        help="serve: persistent int8 calibration artifact "
+                             "(JSON). Loaded if it exists (restart without "
+                             "re-calibrating), written after calibration "
+                             "otherwise")
     parser.add_argument("--alternating", action="store_true",
                         help="weakly: run the full alternating train↔refine "
                              "loop after the initial cycle")
@@ -297,14 +302,17 @@ def main(argv=None):
                                    image_size=size)
                 calib = np.stack([np.asarray(ds.images[i], np.uint8)
                                   for i in range(len(ds))])
-            print("calibrating int8 PTQ "
-                  f"({'dir' if args.calib_dir else 'synthetic'}, "
-                  f"{calib.shape[0]} images)...")
+            reuse = args.calib_state and os.path.exists(args.calib_state)
+            print(("loading int8 calibration state from "
+                   f"{args.calib_state}...") if reuse else
+                  ("calibrating int8 PTQ "
+                   f"({'dir' if args.calib_dir else 'synthetic'}, "
+                   f"{calib.shape[0]} images)..."))
             # quality gate: int8 masks must agree with the float program on
             # the calibration batch, else serve the float program instead —
             # a silently degraded default is worse than a slower one
             ref_masks = pred(calib)
-            pred.quantize(calib)
+            pred.quantize(calib, state_path=args.calib_state)
             agree = float(np.mean(pred(calib) == ref_masks))
             if agree < 0.99:
                 pred._quantized = None

@@ -283,6 +283,63 @@ class Int8Quantizer:
     def num_targets(self) -> int:
         return self._n_targets
 
+    def calibration_state(self) -> dict:
+        """The calibration as a portable JSON-able artifact: per-target
+        activation absmax plus a structural fingerprint of the quantized
+        graph. Persist it next to the serving checkpoint; a fresh process
+        re-creates the quantizer from the same model and adopts it with
+        ``load_calibration`` — skipping the observe passes (and their
+        calibration-program compile), and making deployed scales a
+        reproducible artifact instead of a per-restart re-derivation."""
+        jaxpr, targets, _, _ = self._trace(self._example_args)
+        return {
+            "version": 1,
+            "n_targets": self._n_targets,
+            "kinds": [targets[i] for i in sorted(targets)],
+            # weight (rhs) shapes pin the architecture batch-independently —
+            # calibrate-at-8/serve-at-64 stays loadable, a different model
+            # does not. Same-architecture different-weights still loads: the
+            # amax is a property of the calibration data distribution, and
+            # which checkpoint it applies to is the caller's deployment
+            # decision, like the calibration set itself.
+            "weight_shapes": [
+                [int(d) for d in jaxpr.eqns[i].invars[1].aval.shape]
+                for i in sorted(targets)
+            ],
+            "amax": [float(a) for a in self._amax],
+        }
+
+    def load_calibration(self, state: dict) -> None:
+        """Adopt a ``calibration_state()`` artifact instead of observing
+        batches. The structural fingerprint must match this function's
+        quantizable graph — loading scales into a different graph would
+        silently mis-scale activations, so a mismatch raises."""
+        jaxpr, targets, _, _ = self._trace(self._example_args)
+        kinds = [targets[i] for i in sorted(targets)]
+        wshapes = [[int(d) for d in jaxpr.eqns[i].invars[1].aval.shape]
+                   for i in sorted(targets)]
+        if state.get("version") != 1:
+            raise ValueError(
+                f"unknown calibration state version {state.get('version')!r}")
+        if (state.get("n_targets") != self._n_targets
+                or state.get("kinds") != kinds
+                or state.get("weight_shapes") != wshapes):
+            raise ValueError(
+                "calibration state does not match this function's quantizable "
+                f"graph: state has {state.get('n_targets')} targets "
+                f"{state.get('kinds')} / weight shapes "
+                f"{state.get('weight_shapes')}, function has "
+                f"{self._n_targets} {kinds} / {wshapes}")
+        amax = np.asarray(state.get("amax", ()), np.float64)
+        if amax.shape != (self._n_targets,) or not np.all(np.isfinite(amax)) \
+                or np.any(amax < 0):
+            raise ValueError(
+                "calibration amax must be one finite non-negative value per "
+                "target")
+        if not amax.any():
+            raise ValueError("calibration state is uncalibrated (all-zero amax)")
+        self._amax = amax
+
     def observe(self, *args) -> None:
         """Run one calibration batch; fold its per-equation absmax into the
         running maxima (aligned by position across input shapes)."""

@@ -140,21 +140,26 @@ class Predictor:
             self._dispatch(jnp.zeros((b, h, w, 3), jnp.uint8)).block_until_ready()
         return self
 
-    def quantize(self, calibration_images: np.ndarray, clip_ratio: float = 1.0):
+    def quantize(self, calibration_images: np.ndarray | None = None,
+                 clip_ratio: float = 1.0, state_path: str | None = None):
         """Swap the serving program for its int8 PTQ rewrite (ops/quant.py):
         every weight conv/matmul runs on the MXU in int8 (2× the bf16 rate on
         v5e). ``calibration_images`` — uint8 [N,h,w,3], N ≥ max_batch;
         consumed in max_batch-sized windows for activation-scale calibration.
-        Returns the QuantReport. Call warmup() after to pre-compile."""
-        from weaklysuperviseddl_tpu.ops.quant import Int8Quantizer
 
-        imgs = np.asarray(calibration_images)
-        n = imgs.shape[0]
-        total = -(-n // self.max_batch) * self.max_batch
-        if total != n:
-            # pad the ragged tail window by tiling so every calibration image
-            # is observed (a silent drop would calibrate on a subset)
-            imgs = np.concatenate([imgs] * -(-total // n))[:total]
+        ``state_path``: persistent calibration artifact (JSON). If the file
+        exists it is the calibration of record — loaded and validated against
+        this model's graph, observe passes skipped, ``calibration_images``
+        not required. Otherwise the scales derived from the images are
+        written there (atomically), so a serving restart quantizes without
+        re-calibrating and deployed scales are reproducible. Pass a fresh
+        path (or none) to force re-calibration.
+
+        Returns the QuantReport. Call warmup() after to pre-compile."""
+        import json
+        import os
+
+        from weaklysuperviseddl_tpu.ops.quant import Int8Quantizer
 
         def fn(images_uint8):
             # the SAME body as predict_masks — via the shared helper
@@ -162,10 +167,33 @@ class Predictor:
                                   images_uint8, self.size, self.clean,
                                   self.packed)
 
-        example = (jnp.asarray(imgs[: self.max_batch]),)
-        q = Int8Quantizer(fn, example)
-        for i in range(0, imgs.shape[0], self.max_batch):
-            q.observe(jnp.asarray(imgs[i : i + self.max_batch]))
+        if state_path and os.path.exists(state_path):
+            example = (jnp.zeros(
+                (self.max_batch, self.size, self.size, 3), jnp.uint8),)
+            q = Int8Quantizer(fn, example)
+            with open(state_path) as f:
+                q.load_calibration(json.load(f))
+        else:
+            if calibration_images is None:
+                raise ValueError(
+                    "quantize() needs calibration_images when state_path is "
+                    "unset or does not exist yet")
+            imgs = np.asarray(calibration_images)
+            n = imgs.shape[0]
+            total = -(-n // self.max_batch) * self.max_batch
+            if total != n:
+                # pad the ragged tail window by tiling so every calibration
+                # image is observed (a silent drop would calibrate on a subset)
+                imgs = np.concatenate([imgs] * -(-total // n))[:total]
+            example = (jnp.asarray(imgs[: self.max_batch]),)
+            q = Int8Quantizer(fn, example)
+            for i in range(0, imgs.shape[0], self.max_batch):
+                q.observe(jnp.asarray(imgs[i : i + self.max_batch]))
+            if state_path:
+                tmp = state_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(q.calibration_state(), f)
+                os.replace(tmp, state_path)
         qfn, report = q.build(clip_ratio=clip_ratio)
         self._quantized = qfn  # already jit-backed, weights as runtime args
         return report
