@@ -371,6 +371,36 @@ def test_mask_server_http_round_trip():
             raise AssertionError("malformed body must 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # observability endpoints: /healthz readiness, /stats counters
+        import json
+
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.load(r)
+        assert health["status"] == "ok"
+        assert health["size"] == 48 and health["max_batch"] == 4
+        assert health["int8"] is False
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["total_requests"] == len(imgs) + 1  # incl. the 400
+        assert stats["total_images"] == len(imgs)  # 400 never reached device
+        assert stats["total_dispatches"] >= 2
+        assert stats["mean_dispatch_size"] > 1.0  # coalescing visible here too
+        assert stats["uptime_s"] > 0
+
+        # unknown paths are 404, and don't count as requests
+        for method, path in (("POST", "/frob"), ("GET", "/")):
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(base + path, data=b"x"
+                                           if method == "POST" else None,
+                                           method=method), timeout=30)
+                raise AssertionError(f"{method} {path} must 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            assert json.load(r)["total_requests"] == stats["total_requests"]
     finally:
         server.stop()
 

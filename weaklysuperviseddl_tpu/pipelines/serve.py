@@ -274,7 +274,11 @@ class MaskServer:
 
     Protocol (binary, dependency-free): POST /predict with an ``np.save``-
     serialized uint8 [h,w,3] image body → 200 with an ``np.save``-serialized
-    uint8 {0,1} [size,size] mask body. Malformed bodies get 400.
+    uint8 {0,1} [size,size] mask body. Malformed bodies get 400, unknown
+    paths 404. GET /healthz → 200 JSON (readiness: device, program config);
+    GET /stats → 200 JSON (cumulative requests/dispatches/images served,
+    mean coalesced batch size, uptime) — the probe surface a load balancer
+    or dashboard scrapes.
 
     Requests arriving within ``max_wait_ms`` of each other coalesce into one
     device dispatch (up to ``predictor.max_batch`` — the compiled program is
@@ -308,6 +312,16 @@ class MaskServer:
         from collections import deque
 
         self.dispatch_sizes: deque[int] = deque(maxlen=65536)
+        # cumulative counters for GET /stats (never cleared by probes);
+        # handler threads and the worker both write, so guard with a lock —
+        # int += under the GIL can still drop counts across threads
+        import threading
+
+        self.total_requests = 0
+        self.total_dispatches = 0
+        self.total_images = 0
+        self._stats_lock = threading.Lock()
+        self._started_at = None
 
     def drain_dispatch_sizes(self) -> list[int]:
         """Return and clear the recorded per-dispatch batch sizes — the
@@ -331,6 +345,8 @@ class MaskServer:
         q = self._queue = queue.Queue()
         max_wait_s = self.max_wait_ms / 1e3
         dispatch_sizes = self.dispatch_sizes
+        server = self
+        self._started_at = time.monotonic()
 
         class _Job:
             __slots__ = ("img", "event", "result", "error")
@@ -366,6 +382,9 @@ class MaskServer:
                     for s in range(0, len(jobs), pred.max_batch):
                         chunk = jobs[s : s + pred.max_batch]
                         dispatch_sizes.append(len(chunk))
+                        with server._stats_lock:
+                            server.total_dispatches += 1
+                            server.total_images += len(chunk)
                         try:
                             masks = pred(np.stack([b.img for b in chunk]))
                             for b, m in zip(chunk, masks):
@@ -377,7 +396,46 @@ class MaskServer:
                             b.event.set()
 
         class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                import json as _json
+
+                if self.path == "/healthz":
+                    body = _json.dumps({
+                        "status": "ok",
+                        "size": pred.size,
+                        "max_batch": pred.max_batch,
+                        "buckets": pred.buckets(),
+                        "int8": pred._quantized is not None,
+                        "packed": pred.packed,
+                    }).encode()
+                elif self.path == "/stats":
+                    with server._stats_lock:
+                        n_req, n_disp, n_img = (server.total_requests,
+                                                server.total_dispatches,
+                                                server.total_images)
+                    body = _json.dumps({
+                        "total_requests": n_req,
+                        "total_dispatches": n_disp,
+                        "total_images": n_img,
+                        "mean_dispatch_size": n_img / n_disp if n_disp else 0.0,
+                        "uptime_s": round(
+                            time.monotonic() - server._started_at, 3),
+                    }).encode()
+                else:
+                    self.send_error(404, "GET /healthz or /stats")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
+                if self.path != "/predict":
+                    self.send_error(404, "POST /predict")
+                    return
+                with server._stats_lock:
+                    server.total_requests += 1
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     img = np.load(io.BytesIO(self.rfile.read(n)),
