@@ -372,6 +372,23 @@ def test_mask_server_http_round_trip():
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # compressed bodies: PNG request in, 1-bit PNG mask out — must
+        # produce exactly the np.save path's mask for the same image
+        from PIL import Image
+
+        png_buf = io.BytesIO()
+        Image.fromarray(imgs[0]).save(png_buf, format="PNG")
+        req = urllib.request.Request(
+            url, data=png_buf.getvalue(), method="POST",
+            headers={"Content-Type": "image/png", "Accept": "image/png"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            png_body = r.read()
+        assert len(png_body) < 5000  # ~9.2 KB as np.save at 48²
+        png_mask = (np.asarray(Image.open(io.BytesIO(png_body)).convert("L"))
+                    > 0).astype(np.uint8)
+        np.testing.assert_array_equal(png_mask, want[0])
+
         # observability endpoints: /healthz readiness, /stats counters
         import json
 
@@ -383,8 +400,8 @@ def test_mask_server_http_round_trip():
         assert health["int8"] is False
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             stats = json.load(r)
-        assert stats["total_requests"] == len(imgs) + 1  # incl. the 400
-        assert stats["total_images"] == len(imgs)  # 400 never reached device
+        assert stats["total_requests"] == len(imgs) + 2  # incl. 400 + PNG
+        assert stats["total_images"] == len(imgs) + 1  # 400 never reached device
         assert stats["total_dispatches"] >= 2
         assert stats["mean_dispatch_size"] > 1.0  # coalescing visible here too
         assert stats["uptime_s"] > 0

@@ -326,7 +326,9 @@ def main(argv=None):
         pred.warmup(all_buckets=True)
         server = pred.serve_http(port=0 if args.smoke else args.port)
         print(f"serving uint8 [h,w,3] → {size}² masks on "
-              f"http://127.0.0.1:{server.port}/predict (np.save bodies)")
+              f"http://127.0.0.1:{server.port}/predict "
+              f"(np.save bodies; PNG/JPEG via Content-Type: image/*, "
+              f"PNG masks via Accept: image/png)")
         if args.smoke:
             # self-request round trip, then exit — the driveable smoke path
             import io

@@ -274,8 +274,12 @@ class MaskServer:
 
     Protocol (binary, dependency-free): POST /predict with an ``np.save``-
     serialized uint8 [h,w,3] image body → 200 with an ``np.save``-serialized
-    uint8 {0,1} [size,size] mask body. Malformed bodies get 400, unknown
-    paths 404. GET /healthz → 200 JSON (readiness: device, program config);
+    uint8 {0,1} [size,size] mask body. Compressed WAN-friendly variants:
+    a request with ``Content-Type: image/*`` is PIL-decoded (PNG/JPEG —
+    15-130 KB instead of 196 KB for a 256² image), and ``Accept: image/png``
+    returns the mask as a 1-bit PNG (~1-3 KB instead of 65 KB; pixels
+    0/255). Malformed bodies get 400, unknown paths 404.
+    GET /healthz → 200 JSON (readiness: device, program config);
     GET /stats → 200 JSON (cumulative requests/dispatches/images served,
     mean coalesced batch size, uptime) — the probe surface a load balancer
     or dashboard scrapes.
@@ -438,12 +442,26 @@ class MaskServer:
                     server.total_requests += 1
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    img = np.load(io.BytesIO(self.rfile.read(n)),
-                                  allow_pickle=False)
+                    raw = self.rfile.read(n)
+                    ctype = (self.headers.get("Content-Type") or
+                             "application/octet-stream").split(";")[0].strip()
+                    if ctype.startswith("image/"):
+                        # compressed client bodies (PNG/JPEG/…): a WAN client
+                        # sends 15-130 KB instead of the 196 KB np.save of a
+                        # 256² image; decode on the host, dispatch identically
+                        from PIL import Image
+
+                        img = np.asarray(
+                            Image.open(io.BytesIO(raw)).convert("RGB"),
+                            np.uint8)
+                    else:
+                        img = np.load(io.BytesIO(raw), allow_pickle=False)
                     assert img.ndim == 3 and img.shape[-1] == 3, img.shape
                     assert img.dtype == np.uint8, img.dtype
                 except Exception:
-                    self.send_error(400, "body must be np.save of uint8 [h,w,3]")
+                    self.send_error(
+                        400, "body must be np.save of uint8 [h,w,3], or a "
+                             "PNG/JPEG with Content-Type: image/*")
                     return
                 job = _Job(img)
                 q.put(job)
@@ -451,11 +469,23 @@ class MaskServer:
                 if job.error is not None:
                     self.send_error(500, str(job.error))
                     return
+                accept = (self.headers.get("Accept") or "").lower()
                 buf = io.BytesIO()
-                np.save(buf, job.result)
+                if "image/png" in accept:
+                    # 1-bit PNG mask: ~1-3 KB vs the 65 KB np.save — the
+                    # downlink twin of the compressed request body
+                    from PIL import Image
+
+                    Image.fromarray(
+                        (job.result > 0).astype(np.uint8) * 255, "L"
+                    ).convert("1").save(buf, format="PNG")
+                    out_type = "image/png"
+                else:
+                    np.save(buf, job.result)
+                    out_type = "application/octet-stream"
                 body = buf.getvalue()
                 self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Type", out_type)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
