@@ -389,10 +389,27 @@ def test_mask_server_http_round_trip():
                     > 0).astype(np.uint8)
         np.testing.assert_array_equal(png_mask, want[0])
 
-        # observability endpoints: /healthz readiness, /stats counters
-        import json
+        # MaskClient is the reference client: both wire formats must
+        # reproduce the raw-protocol masks exactly
+        import tempfile
+
+        from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
 
         base = f"http://127.0.0.1:{server.port}"
+        for wire in ("npy", "png"):
+            np.testing.assert_array_equal(
+                MaskClient(base, wire=wire).predict(imgs[1]), want[1])
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "img.png")
+            Image.fromarray(imgs[2]).save(p)
+            np.testing.assert_array_equal(
+                MaskClient(base).predict_file(p), want[2])
+        n_client_reqs = 5  # 2 predicts + predict_file + healthz below
+
+        assert MaskClient(base).healthz()["status"] == "ok"
+
+        # observability endpoints: /healthz readiness, /stats counters
+        import json
         with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
             health = json.load(r)
         assert health["status"] == "ok"

@@ -23,6 +23,7 @@ bf16, 4,400+ int8 at batch 32).
 
 from __future__ import annotations
 
+import io
 from functools import partial
 
 import jax
@@ -511,3 +512,84 @@ class MaskServer:
         self._queue.put(None)
         for t in self._threads:
             t.join(timeout=5)
+
+
+class MaskClient:
+    """Stdlib-only client for the MaskServer protocol — the reference
+    implementation of the wire format, so callers don't hand-roll
+    urllib + np.save (and so protocol changes break a test here, not a
+    user's deploy script).
+
+    ``wire="npy"`` (default) POSTs ``np.save`` bodies and reads ``np.save``
+    masks — the lowest-latency localhost encoding. ``wire="png"`` sends the
+    image as a PNG (``Content-Type: image/png``) and asks for the mask as a
+    1-bit PNG (``Accept: image/png``) — the WAN encoding (~15-130 KB up,
+    1-3 KB down per 256² image vs 196 KB / 65 KB raw). Both return the
+    same uint8 {0,1} [size, size] mask (bit-equal: the server decodes PNG
+    requests to the identical uint8 array before dispatch).
+    """
+
+    def __init__(self, base_url: str, wire: str = "npy",
+                 timeout: float = 120.0):
+        assert wire in ("npy", "png"), wire
+        self.base_url = base_url.rstrip("/")
+        self.wire = wire
+        self.timeout = timeout
+
+    def _post(self, body: bytes, headers: dict) -> "np.ndarray":
+        import urllib.request
+
+        req = urllib.request.Request(self.base_url + "/predict", data=body,
+                                     method="POST", headers=headers)
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            ctype = r.headers.get("Content-Type", "")
+            raw = r.read()
+        if ctype == "image/png":
+            from PIL import Image
+
+            return (np.asarray(Image.open(io.BytesIO(raw)).convert("L"))
+                    > 0).astype(np.uint8)
+        return np.load(io.BytesIO(raw), allow_pickle=False)
+
+    def predict(self, image: "np.ndarray") -> "np.ndarray":
+        """uint8 [h,w,3] image → uint8 {0,1} [size,size] mask."""
+        img = np.ascontiguousarray(image, np.uint8)
+        assert img.ndim == 3 and img.shape[-1] == 3, img.shape
+        buf = io.BytesIO()
+        if self.wire == "png":
+            from PIL import Image
+
+            Image.fromarray(img).save(buf, format="PNG")
+            headers = {"Content-Type": "image/png", "Accept": "image/png"}
+        else:
+            np.save(buf, img)
+            headers = {}
+        return self._post(buf.getvalue(), headers)
+
+    def predict_file(self, path: str) -> "np.ndarray":
+        """Send an on-disk PNG/JPEG AS-IS (no local decode/re-encode);
+        the server decodes. Mask comes back in this client's wire format."""
+        import mimetypes
+
+        ctype = mimetypes.guess_type(path)[0] or "image/png"
+        assert ctype.startswith("image/"), f"{path}: not an image ({ctype})"
+        with open(path, "rb") as f:
+            body = f.read()
+        headers = {"Content-Type": ctype}
+        if self.wire == "png":
+            headers["Accept"] = "image/png"
+        return self._post(body, headers)
+
+    def _get_json(self, path: str) -> dict:
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(self.base_url + path,
+                                    timeout=self.timeout) as r:
+            return json.load(r)
+
+    def healthz(self) -> dict:
+        return self._get_json("/healthz")
+
+    def stats(self) -> dict:
+        return self._get_json("/stats")
