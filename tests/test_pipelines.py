@@ -391,6 +391,7 @@ def test_mask_server_http_round_trip():
 
         # MaskClient is the reference client: both wire formats must
         # reproduce the raw-protocol masks exactly
+        import os
         import tempfile
 
         from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
@@ -404,7 +405,8 @@ def test_mask_server_http_round_trip():
             Image.fromarray(imgs[2]).save(p)
             np.testing.assert_array_equal(
                 MaskClient(base).predict_file(p), want[2])
-        n_client_reqs = 5  # 2 predicts + predict_file + healthz below
+        # 2 predicts + predict_file; GETs (healthz/stats) never count
+        n_client_posts = 3
 
         assert MaskClient(base).healthz()["status"] == "ok"
 
@@ -417,8 +419,10 @@ def test_mask_server_http_round_trip():
         assert health["int8"] is False
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             stats = json.load(r)
-        assert stats["total_requests"] == len(imgs) + 2  # incl. 400 + PNG
-        assert stats["total_images"] == len(imgs) + 1  # 400 never reached device
+        # 6 barrier posts + 400 + PNG + the MaskClient POSTs
+        assert stats["total_requests"] == len(imgs) + 2 + n_client_posts
+        # the 400 never reached the device; every other POST carried 1 image
+        assert stats["total_images"] == len(imgs) + 1 + n_client_posts
         assert stats["total_dispatches"] >= 2
         assert stats["mean_dispatch_size"] > 1.0  # coalescing visible here too
         assert stats["uptime_s"] > 0
