@@ -62,3 +62,54 @@ def test_serve_smoke_round_trip(capsys):
     assert main(["serve", "--smoke"]) == 0
     out = capsys.readouterr().out
     assert "smoke round trip OK" in out
+
+
+def test_client_command(tmp_path, capsys):
+    """`client` sends an on-disk image to a running MaskServer via MaskClient
+    and writes the mask PNG — bit-equal to a direct Predictor call; `--stats`
+    prints the probe JSON."""
+    import json
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from weaklysuperviseddl_tpu.cli import main
+    from weaklysuperviseddl_tpu.models.deeplabv3 import DeepLabV3
+    from weaklysuperviseddl_tpu.pipelines.serve import Predictor
+    from weaklysuperviseddl_tpu.train.segmentation import create_seg_state
+
+    model = DeepLabV3(num_classes=2, backbone_depth=18, width_multiplier=0.25)
+    state, _ = create_seg_state(model, jax.random.PRNGKey(0), input_size=48)
+    pred = Predictor(model, state, size=48, max_batch=2).warmup()
+    server = pred.serve_http()
+    try:
+        url = f"http://127.0.0.1:{server.port}"
+        rng = np.random.default_rng(3)
+        img = (rng.uniform(0, 1, (48, 48, 3)) * 255).astype(np.uint8)
+        img_path = tmp_path / "photo.png"
+        Image.fromarray(img).save(img_path)
+
+        # default --out lands next to the input as <image>_mask.png
+        assert main(["client", "--url", url, "--image", str(img_path)]) == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["out"] == str(tmp_path / "photo_mask.png")
+        assert rec["shape"] == [48, 48]
+        got = (np.asarray(Image.open(rec["out"]).convert("L")) > 0
+               ).astype(np.uint8)
+        np.testing.assert_array_equal(got, pred(img[None])[0])
+
+        # the compressed wire must write the identical mask
+        out2 = tmp_path / "mask_png_wire.png"
+        assert main(["client", "--url", url, "--wire", "png",
+                     "--image", str(img_path), "--out", str(out2)]) == 0
+        capsys.readouterr()
+        got2 = (np.asarray(Image.open(out2).convert("L")) > 0).astype(np.uint8)
+        np.testing.assert_array_equal(got2, got)
+
+        assert main(["client", "--url", url, "--stats"]) == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["healthz"]["status"] == "ok"
+        assert rec["stats"]["total_images"] >= 2
+    finally:
+        server.stop()

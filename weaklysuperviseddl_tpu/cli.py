@@ -13,6 +13,8 @@ with dotted-config overrides onto ExperimentConfig, e.g.:
     python -m weaklysuperviseddl_tpu basnet --weights ./Weights/basnet.pth
     python -m weaklysuperviseddl_tpu dryrun --devices 8
     python -m weaklysuperviseddl_tpu parity --weights-dir ./Weights --pet-root ./data
+    python -m weaklysuperviseddl_tpu serve --port 8765
+    python -m weaklysuperviseddl_tpu client --url http://host:8765 --image photo.jpg
 """
 
 from __future__ import annotations
@@ -89,7 +91,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="weaklysuperviseddl_tpu")
     parser.add_argument("command", choices=[
         "weakly", "supervised", "ablations", "basnet", "foundation", "dryrun",
-        "bench", "parity", "serve",
+        "bench", "parity", "serve", "client",
     ], help="pipeline to run; 'parity' is dispatched before this parser to "
             "scripts/parity_harness.py (source checkout only) and owns its "
             "own flags — see that script's --help")
@@ -132,6 +134,20 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="weakly --alternating: restore the latest "
                              "snapshot in --checkpoint-dir and continue")
+    parser.add_argument("--url", default="http://127.0.0.1:8765",
+                        help="client: base URL of a running MaskServer")
+    parser.add_argument("--image", default=None,
+                        help="client: PNG/JPEG to send (bytes as-is; the "
+                             "server decodes)")
+    parser.add_argument("--out", default=None,
+                        help="client: mask PNG output path (default: "
+                             "<image>_mask.png next to the input)")
+    parser.add_argument("--wire", choices=["npy", "png"], default="npy",
+                        help="client: response wire format — npy (localhost) "
+                             "or compressed 1-bit PNG (WAN)")
+    parser.add_argument("--stats", action="store_true",
+                        help="client: print the server's /healthz and /stats "
+                             "JSON instead of predicting")
     parser.add_argument("--timings-out", default=None,
                         help="weakly: write a per-phase wall-clock/img-per-s "
                              "JSON record of THIS pipeline run (the E2E "
@@ -330,19 +346,15 @@ def main(argv=None):
               f"(np.save bodies; PNG/JPEG via Content-Type: image/*, "
               f"PNG masks via Accept: image/png)")
         if args.smoke:
-            # self-request round trip, then exit — the driveable smoke path
-            import io
-            import urllib.request
-
+            # self-request round trip through the shipped client, then exit —
+            # the driveable smoke path exercises the same wire code users run
             import numpy as np
 
-            buf = io.BytesIO()
-            np.save(buf, np.zeros((size, size, 3), np.uint8))
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{server.port}/predict",
-                data=buf.getvalue(), method="POST")
-            with urllib.request.urlopen(req, timeout=60) as r:
-                mask = np.load(io.BytesIO(r.read()), allow_pickle=False)
+            from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
+
+            mask = MaskClient(
+                f"http://127.0.0.1:{server.port}", timeout=60.0
+            ).predict(np.zeros((size, size, 3), np.uint8))
             server.stop()
             print(f"smoke round trip OK: mask {mask.shape} "
                   f"values {sorted(set(np.unique(mask)))}")
@@ -354,6 +366,28 @@ def main(argv=None):
                     time.sleep(3600)
             except KeyboardInterrupt:
                 server.stop()
+    elif args.command == "client":
+        # operator-side twin of `serve`: get a mask out of a running
+        # MaskServer with no hand-written urllib (pipelines/serve.MaskClient
+        # is the wire-format reference implementation)
+        from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
+
+        client = MaskClient(args.url, wire=args.wire)
+        if args.stats:
+            print(json.dumps(
+                {"healthz": client.healthz(), "stats": client.stats()}))
+            return 0
+        if not args.image:
+            parser.error("client: pass --image PATH (or --stats)")
+        import numpy as np
+        from PIL import Image
+
+        mask = client.predict_file(args.image)
+        out = args.out or os.path.splitext(args.image)[0] + "_mask.png"
+        Image.fromarray((mask > 0).astype(np.uint8) * 255, "L").convert(
+            "1").save(out)
+        print(json.dumps({"out": out, "shape": list(mask.shape),
+                          "fg_frac": round(float((mask > 0).mean()), 4)}))
     return 0
 
 
