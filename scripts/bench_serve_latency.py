@@ -45,6 +45,7 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
 
     latencies: list[float] = []
     errors: list[str] = []
+    shed = [0]  # 503 responses: intentional overload shedding, not failures
     lock = threading.Lock()
     stop_at = time.perf_counter() + duration_s
 
@@ -52,8 +53,10 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
         # a failed request is recorded and the client keeps offering load —
         # a silently dead thread would shrink the offered concurrency and
         # overstate the published SLO
+        import urllib.error
+
         rng = np.random.default_rng(cid)
-        local, local_err = [], []
+        local, local_err, local_shed = [], [], 0
         while time.perf_counter() < stop_at:
             body = bodies[int(rng.integers(len(bodies)))]
             t0 = time.perf_counter()
@@ -61,6 +64,17 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
                 req = urllib.request.Request(url, data=body, method="POST")
                 with urllib.request.urlopen(req, timeout=120) as r:
                     r.read()
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    # shed by the bounded queue: back off as instructed,
+                    # count separately — the SLO (p50/p99) is over ACCEPTED
+                    # requests, the shed rate is its own column
+                    local_shed += 1
+                    time.sleep(float(e.headers.get("Retry-After", 0.1)) *
+                               (0.5 + rng.random()))
+                    continue
+                local_err.append(f"HTTP {e.code}: {e.reason}")
+                continue
             except Exception as e:  # noqa: BLE001 — record, keep driving
                 local_err.append(f"{type(e).__name__}: {e}")
                 continue
@@ -68,6 +82,7 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
         with lock:
             latencies.extend(local)
             errors.extend(local_err)
+            shed[0] += local_shed
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(concurrency)]
@@ -77,7 +92,7 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
     for t in threads:
         t.join()
     elapsed = time.perf_counter() - t_start
-    return latencies, errors, elapsed
+    return latencies, errors, shed[0], elapsed
 
 
 def main():
@@ -86,7 +101,10 @@ def main():
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--duration", type=float, default=10.0,
                     help="seconds of load per concurrency level")
-    ap.add_argument("--concurrencies", default="1,4,16,64")
+    ap.add_argument("--concurrencies", default="1,4,16,64,256",
+                    help="256 is the over-saturation level: it exists to "
+                         "measure shed-rate and bounded accepted-p99, not "
+                         "throughput")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--no-packed", action="store_true")
@@ -127,13 +145,14 @@ def main():
     try:
         for conc in [int(c) for c in args.concurrencies.split(",")]:
             server.drain_dispatch_sizes()  # attribute dispatches per level
-            lats, errs, elapsed = drive_clients(
+            lats, errs, n_shed, elapsed = drive_clients(
                 url, images[:8], conc, args.duration)
             sizes = server.drain_dispatch_sizes()
             row = {
                 "concurrency": conc,
                 "requests": len(lats),
                 "errors": len(errs),
+                "shed_503": n_shed,
                 "throughput_img_per_s": round(len(lats) / elapsed, 1),
                 "mean_coalesced_batch": round(float(np.mean(sizes)), 2) if sizes else 0,
                 "max_coalesced_batch": int(np.max(sizes)) if sizes else 0,
@@ -151,6 +170,15 @@ def main():
                       f"concurrency {conc}", flush=True)
             rows.append(row)
             print(json.dumps(row), flush=True)
+        # the server's own /stats view (ring-buffer percentiles, shed/timeout
+        # counters) — recorded so the in-process observability can be checked
+        # against the external measurement
+        import urllib.request
+
+        with urllib.request.urlopen(
+                url.rsplit("/", 1)[0] + "/stats", timeout=30) as r:
+            server_stats = json.load(r)
+        print(f"server /stats: {json.dumps(server_stats)}", flush=True)
     finally:
         server.stop()
 
@@ -164,18 +192,23 @@ def main():
             "device": f"{dev.platform} {dev.device_kind}",
         },
         "levels": rows,
+        "server_stats": server_stats,
+        "notes": "latency percentiles are over ACCEPTED requests; shed_503 "
+                 "is the bounded-queue overload path (clients back off per "
+                 "Retry-After). Worker pipelined round 5: async dispatch + "
+                 "separate readback drain, in_flight=4.",
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
-    print("\n| clients | req/s | p50 ms | p90 ms | p99 ms | mean batch | errors |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| clients | req/s | p50 ms | p90 ms | p99 ms | mean batch | shed | errors |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['concurrency']} | {r['throughput_img_per_s']} | "
               f"{r.get('p50_ms', '—')} | {r.get('p90_ms', '—')} | "
               f"{r.get('p99_ms', '—')} | {r['mean_coalesced_batch']} | "
-              f"{r['errors']} |")
+              f"{r['shed_503']} | {r['errors']} |")
 
 
 if __name__ == "__main__":

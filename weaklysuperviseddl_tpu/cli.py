@@ -352,10 +352,14 @@ def main(argv=None):
 
             from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
 
-            mask = MaskClient(
-                f"http://127.0.0.1:{server.port}", timeout=60.0
-            ).predict(np.zeros((size, size, 3), np.uint8))
-            server.stop()
+            try:
+                mask = MaskClient(
+                    f"http://127.0.0.1:{server.port}", timeout=60.0
+                ).predict(np.zeros((size, size, 3), np.uint8))
+            finally:
+                # a failed smoke request must not leave the worker thread
+                # running while the exception propagates
+                server.stop()
             print(f"smoke round trip OK: mask {mask.shape} "
                   f"values {sorted(set(np.unique(mask)))}")
         else:  # pragma: no cover - long-running server
@@ -370,19 +374,32 @@ def main(argv=None):
         # operator-side twin of `serve`: get a mask out of a running
         # MaskServer with no hand-written urllib (pipelines/serve.MaskClient
         # is the wire-format reference implementation)
+        import urllib.error
+
         from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
 
         client = MaskClient(args.url, wire=args.wire)
-        if args.stats:
-            print(json.dumps(
-                {"healthz": client.healthz(), "stats": client.stats()}))
-            return 0
-        if not args.image:
-            parser.error("client: pass --image PATH (or --stats)")
-        import numpy as np
-        from PIL import Image
+        # network failures are an operator-facing condition, not a bug:
+        # one line to stderr + nonzero exit, not a urllib traceback
+        try:
+            if args.stats:
+                print(json.dumps(
+                    {"healthz": client.healthz(), "stats": client.stats()}))
+                return 0
+            if not args.image:
+                parser.error("client: pass --image PATH (or --stats)")
+            import numpy as np
+            from PIL import Image
 
-        mask = client.predict_file(args.image)
+            mask = client.predict_file(args.image)
+        except urllib.error.HTTPError as e:
+            print(f"client: server error: HTTP {e.code} {e.reason} "
+                  f"({args.url})", file=sys.stderr)
+            return 1
+        except (urllib.error.URLError, OSError) as e:
+            print(f"client: cannot reach {args.url}: "
+                  f"{getattr(e, 'reason', e)}", file=sys.stderr)
+            return 1
         out = args.out or os.path.splitext(args.image)[0] + "_mask.png"
         Image.fromarray((mask > 0).astype(np.uint8) * 255, "L").convert(
             "1").save(out)

@@ -216,20 +216,38 @@ class Predictor:
             host = np.unpackbits(host, axis=-1)
         return host
 
-    def __call__(self, images: np.ndarray) -> np.ndarray:
+    def dispatch_async(self, images: np.ndarray):
+        """Pad to the serving bucket and dispatch WITHOUT readback: returns
+        ``(device_result, n)``. JAX dispatch is asynchronous, so this returns
+        as soon as the transfer+compute are enqueued — the caller overlaps
+        further dispatches with device work and later calls ``readback``.
+        This is the primitive the MaskServer worker pipelines on; round 4
+        measured the blocking per-call round trip at ~25 ms dispatch latency
+        against ~2.4 ms of compute (BASELINE.md)."""
         n = images.shape[0]
         assert n <= self.max_batch, f"batch {n} exceeds max_batch {self.max_batch}"
         bucket = self._bucket(n)
         if n < bucket:
             pad = np.repeat(images[-1:], bucket - n, axis=0)
             images = np.concatenate([images, pad])
-        return self._to_host(self._dispatch(jnp.asarray(images)))[:n]
+        return self._dispatch(jnp.asarray(images)), n
+
+    def readback(self, dev, n: int) -> np.ndarray:
+        """Blocking host readback of a ``dispatch_async`` result (unpacks
+        bitmaps, strips bucket padding)."""
+        return self._to_host(dev)[:n]
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        return self.readback(*self.dispatch_async(images))
 
     def serve_http(self, host: str = "127.0.0.1", port: int = 0,
-                   max_wait_ms: float = 5.0) -> "MaskServer":
+                   max_wait_ms: float = 5.0, **server_kwargs) -> "MaskServer":
         """Start an HTTP front for this predictor (returns a started
-        MaskServer; .port, .stop()). See MaskServer for the protocol."""
-        server = MaskServer(self, host=host, port=port, max_wait_ms=max_wait_ms)
+        MaskServer; .port, .stop()). See MaskServer for the protocol;
+        ``server_kwargs`` forward to it (in_flight, max_queue,
+        max_body_bytes, request_timeout_s)."""
+        server = MaskServer(self, host=host, port=port,
+                            max_wait_ms=max_wait_ms, **server_kwargs)
         server.start()
         return server
 
@@ -289,9 +307,31 @@ class MaskServer:
     device dispatch (up to ``predictor.max_batch`` — the compiled program is
     fixed-batch, so coalescing is free until the pad fills with real work).
     Same-shape requests batch together; mixed shapes are dispatched as
-    separate groups in arrival order. One worker thread owns the device, so
-    TPU dispatch stays single-threaded while the ThreadingHTTPServer handles
-    socket concurrency.
+    separate groups in arrival order.
+
+    The device path is PIPELINED (round-5 fix for the round-4 measured
+    defect: the worker called the blocking per-call path, serializing
+    upload→compute→readback per dispatch, so the HTTP front delivered
+    67 img/s from a device serving 3,000+). A dispatch thread owns the
+    device and keeps up to ``in_flight`` asynchronous dispatches pending
+    (Predictor.dispatch_async); a separate drain thread blocks on readbacks
+    and completes requests — so the next coalesce window opens, and the next
+    upload streams, while the device computes. The in-flight queue is
+    bounded: when the device falls ``in_flight`` dispatches behind, the
+    dispatch thread blocks instead of buffering device memory unboundedly.
+
+    Overload protection (a server without it converts saturation into
+    unbounded latency and memory):
+    - request queue bounded at ``max_queue``; a full queue sheds with
+      503 + Retry-After instead of queueing forever (round 4's 963 ms p50
+      at saturation was exactly unbounded queue depth),
+    - Content-Length capped at ``max_body_bytes`` → 413 before the body is
+      read (an unbounded ``rfile.read`` lets one client exhaust host memory),
+    - each accepted request waits at most ``request_timeout_s`` for its
+      result → 504 (no orphaned handler threads when the device wedges).
+    GET /stats reports shed/rejected/timeout counters and per-request
+    latency p50/p90/p99 over a 4096-request ring buffer, so the SLO is
+    monitorable in-process without an external bench.
 
     The reference has no serving story; this is the deployment-shaped lid on
     the Predictor stack (static-shape program + int8 PTQ + packed readback +
@@ -301,11 +341,18 @@ class MaskServer:
     """
 
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
-                 port: int = 0, max_wait_ms: float = 5.0):
+                 port: int = 0, max_wait_ms: float = 5.0,
+                 in_flight: int = 4, max_queue: int = 256,
+                 max_body_bytes: int = 32 << 20,
+                 request_timeout_s: float = 60.0):
         self.predictor = predictor
         self.host = host
         self._port = port
         self.max_wait_ms = max_wait_ms
+        self.in_flight = in_flight
+        self.max_queue = max_queue
+        self.max_body_bytes = max_body_bytes
+        self.request_timeout_s = request_timeout_s
         self._server = None
         self._threads = []
         self._queue = None
@@ -325,8 +372,15 @@ class MaskServer:
         self.total_requests = 0
         self.total_dispatches = 0
         self.total_images = 0
+        self.total_shed = 0        # 503: request queue full
+        self.total_rejected = 0    # 413: body over max_body_bytes
+        self.total_timeouts = 0    # 504: result not ready in request_timeout_s
         self._stats_lock = threading.Lock()
         self._started_at = None
+        # per-request wall latency (accept → result ready), seconds; ring
+        # buffer — percentiles are computed on /stats scrape, appends are
+        # deque-atomic so handler threads don't contend on the stats lock
+        self.latencies_s: deque[float] = deque(maxlen=4096)
 
     def drain_dispatch_sizes(self) -> list[int]:
         """Return and clear the recorded per-dispatch batch sizes — the
@@ -347,7 +401,10 @@ class MaskServer:
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         pred = self.predictor
-        q = self._queue = queue.Queue()
+        # bounded: a full queue sheds 503 at do_POST instead of growing
+        # latency with depth forever (round-4 E2E_SERVE_LATENCY defect)
+        q = self._queue = queue.Queue(maxsize=self.max_queue)
+        inflight = queue.Queue(maxsize=self.in_flight)
         max_wait_s = self.max_wait_ms / 1e3
         dispatch_sizes = self.dispatch_sizes
         server = self
@@ -362,11 +419,16 @@ class MaskServer:
                 self.result = None
                 self.error = None
 
-        def worker():
-            while True:
+        def dispatcher():
+            # Owns the device. Coalesces, dispatches ASYNCHRONOUSLY, hands
+            # (chunk, device_result) to the drain thread; the bounded
+            # inflight queue is the backpressure: at most ``in_flight``
+            # dispatches pending before this thread blocks.
+            stopping = False
+            while not stopping:
                 job = q.get()
                 if job is None:
-                    return
+                    break
                 batch = [job]
                 deadline = time.monotonic() + max_wait_s
                 while len(batch) < pred.max_batch:
@@ -375,7 +437,9 @@ class MaskServer:
                     except queue.Empty:
                         break
                     if nxt is None:
-                        q.put(None)
+                        # finish this batch, then exit (don't re-put: with a
+                        # bounded queue a re-put can deadlock against full)
+                        stopping = True
                         break
                     batch.append(nxt)
                 # same-shape groups dispatch together (the compiled program
@@ -391,14 +455,34 @@ class MaskServer:
                             server.total_dispatches += 1
                             server.total_images += len(chunk)
                         try:
-                            masks = pred(np.stack([b.img for b in chunk]))
-                            for b, m in zip(chunk, masks):
-                                b.result = m
+                            dev, n = pred.dispatch_async(
+                                np.stack([b.img for b in chunk]))
                         except Exception as e:  # surface as 500, keep serving
                             for b in chunk:
                                 b.error = e
-                        for b in chunk:
-                            b.event.set()
+                                b.event.set()
+                            continue
+                        inflight.put((chunk, dev, n))
+            inflight.put(None)
+
+        def drainer():
+            # Blocks on device readbacks and completes requests, so the
+            # dispatcher's next coalesce window opens while the device
+            # computes — the predict_many discipline, as a server.
+            while True:
+                item = inflight.get()
+                if item is None:
+                    return
+                chunk, dev, n = item
+                try:
+                    masks = pred.readback(dev, n)
+                    for b, m in zip(chunk, masks):
+                        b.result = m
+                except Exception as e:  # surface as 500, keep serving
+                    for b in chunk:
+                        b.error = e
+                for b in chunk:
+                    b.event.set()
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):
@@ -418,14 +502,32 @@ class MaskServer:
                         n_req, n_disp, n_img = (server.total_requests,
                                                 server.total_dispatches,
                                                 server.total_images)
-                    body = _json.dumps({
+                        n_shed, n_rej, n_to = (server.total_shed,
+                                               server.total_rejected,
+                                               server.total_timeouts)
+                    lat = list(server.latencies_s)  # ring-buffer snapshot
+                    stats = {
                         "total_requests": n_req,
                         "total_dispatches": n_disp,
                         "total_images": n_img,
+                        "total_shed_503": n_shed,
+                        "total_rejected_413": n_rej,
+                        "total_timeouts_504": n_to,
+                        "queue_depth": q.qsize(),
                         "mean_dispatch_size": n_img / n_disp if n_disp else 0.0,
                         "uptime_s": round(
                             time.monotonic() - server._started_at, 3),
-                    }).encode()
+                    }
+                    if lat:
+                        ms = np.percentile(
+                            np.asarray(lat) * 1e3, [50, 90, 99])
+                        stats.update({
+                            "latency_window": len(lat),
+                            "latency_p50_ms": round(float(ms[0]), 1),
+                            "latency_p90_ms": round(float(ms[1]), 1),
+                            "latency_p99_ms": round(float(ms[2]), 1),
+                        })
+                    body = _json.dumps(stats).encode()
                 else:
                     self.send_error(404, "GET /healthz or /stats")
                     return
@@ -441,8 +543,18 @@ class MaskServer:
                     return
                 with server._stats_lock:
                     server.total_requests += 1
+                t_accept = time.monotonic()
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > server.max_body_bytes:
+                        # reject BEFORE reading: trusting Content-Length
+                        # into rfile.read lets one client exhaust host memory
+                        with server._stats_lock:
+                            server.total_rejected += 1
+                        self.send_error(
+                            413, f"body {n} bytes exceeds cap "
+                                 f"{server.max_body_bytes}")
+                        return
                     raw = self.rfile.read(n)
                     ctype = (self.headers.get("Content-Type") or
                              "application/octet-stream").split(";")[0].strip()
@@ -465,8 +577,30 @@ class MaskServer:
                              "PNG/JPEG with Content-Type: image/*")
                     return
                 job = _Job(img)
-                q.put(job)
-                job.event.wait()
+                try:
+                    q.put_nowait(job)
+                except queue.Full:
+                    # shed instead of queueing: at saturation a bounded
+                    # queue keeps accepted-request latency bounded; clients
+                    # retry after backoff (Retry-After) — round 4's 963 ms
+                    # p50 was unbounded depth
+                    with server._stats_lock:
+                        server.total_shed += 1
+                    body = b"server overloaded, retry\n"
+                    self.send_response(503)
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if not job.event.wait(server.request_timeout_s):
+                    with server._stats_lock:
+                        server.total_timeouts += 1
+                    self.send_error(
+                        504, f"no result in {server.request_timeout_s}s")
+                    return
+                server.latencies_s.append(time.monotonic() - t_accept)
                 if job.error is not None:
                     self.send_error(500, str(job.error))
                     return
@@ -501,7 +635,7 @@ class MaskServer:
             request_queue_size = 128
 
         self._server = _Server((self.host, self._port), Handler)
-        for target in (worker, self._server.serve_forever):
+        for target in (dispatcher, drainer, self._server.serve_forever):
             t = threading.Thread(target=target, daemon=True)
             t.start()
             self._threads.append(t)
