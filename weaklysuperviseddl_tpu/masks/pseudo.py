@@ -66,19 +66,34 @@ def _index_table(n: int, batch_size: int) -> np.ndarray:
 
 @dataclass
 class ResidentCams:
-    """Device-resident CAM extraction output: everything mask derivation
-    needs, uploaded/computed once. Per-image CAM values are independent of
-    batch composition (eval-mode BN, per-sample ops), so masks derived from a
-    reordered view are bit-identical to recomputing CAMs in that order."""
+    """CAM extraction output: everything mask derivation needs, computed
+    once. Per-image CAM values are independent of batch composition
+    (eval-mode BN, per-sample ops), so masks derived from a reordered view
+    are bit-identical to recomputing CAMs in that order.
+
+    ``on_device=True`` (default): arrays live in HBM, mask derivation is one
+    scanned dispatch over device-resident data. ``on_device=False`` (the
+    ``spill_to_host`` extraction path): arrays are host numpy and derivation
+    streams windows through the device — same numerics, bounded HBM
+    (see docs/SCALING.md "Device-residency memory model")."""
 
     images_raw: jnp.ndarray     # [N,H,W,3] uint8, the loader's raw decodes
     cams: jnp.ndarray           # [N,S,S] float32 in [0,1]
     store_images: jnp.ndarray   # [N,S,S,3] uint8 (min-max unnormalized)
     image_size: int
     batch_size: int
+    on_device: bool = True
 
     def __len__(self):
         return int(self.cams.shape[0])
+
+    def resident_bytes(self) -> int:
+        """HBM bytes this extraction holds resident (0 in spill mode) —
+        the documented budget: N·(H·W·3 + S²·4 + S²·3)."""
+        if not self.on_device:
+            return 0
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                   for a in (self.images_raw, self.cams, self.store_images))
 
 
 def extract_cams(
@@ -91,12 +106,22 @@ def extract_cams(
     image_size: int = 224,
     max_images: int | None = 500,
     batches_per_dispatch: int | None = None,
+    spill_to_host: bool = False,
 ) -> ResidentCams:
     """Stage 1: drain the loader ONCE, upload ONCE, run LayerCAM over the
     whole set as scanned batches per device program (None = everything in one
     dispatch). The expensive part of pseudo-mask generation, factored so grid
     searches run it once (reference recomputes per combo, Abalations.py:9-29).
-    """
+
+    ``spill_to_host=True``: the streaming degradation for datasets beyond
+    HBM. Each ``batches_per_dispatch`` window (default 8 batches) is uploaded,
+    swept, and read back to host numpy before the next window — device
+    residency is bounded at one window (B·K·~0.5 MB at 224²) instead of
+    N·~0.5 MB for the whole set, at the cost of re-upload during mask
+    derivation. Per-batch programs see identical shapes and values, so the
+    CAMs/masks are bit-identical to the resident path (tested). The memory
+    model and where the resident path breaks are documented in
+    docs/SCALING.md "Device-residency memory model"."""
     imgs_np, labels_np = [], []
     n = 0
     batch_size = None
@@ -122,21 +147,54 @@ def extract_cams(
     idx_table = _index_table(n, B)
     T = idx_table.shape[0]
 
+    def cam_batch(variables, raw, lab):
+        # the ONE per-batch CAM body — shared by the resident (device
+        # gather) and spill (direct content) sweeps so they cannot drift
+        x, _unused = preprocess_batch(raw, None, size=image_size)
+        cam, _logits = layercam(
+            model, variables, x, lab,
+            target_layers=tuple(target_layers), alpha=alpha,
+            alpha_mode=alpha_mode, output_size=image_size,
+        )
+        return cam.astype(jnp.float32), _store_image_u8(x)
+
+    if spill_to_host:
+        K = batches_per_dispatch or 8
+
+        @jax.jit
+        def sweep_content(variables, raws, labs):  # [K,B,H,W,3], [K,B]
+            def body(_, rl):
+                return None, cam_batch(variables, *rl)
+            _, out = jax.lax.scan(body, None, (raws, labs))
+            return out                         # [K,B,S,S], [K,B,S,S,3]
+
+        cams_np = np.empty((T * B, image_size, image_size), np.float32)
+        store_np = np.empty((T * B, image_size, image_size, 3), np.uint8)
+        for start in range(0, T, K):
+            chunk = idx_table[start : start + K]
+            k0 = chunk.shape[0]
+            if k0 < K:  # keep the jit shape static across windows
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], K - k0, axis=0)])
+            c, im = sweep_content(variables,
+                                  jnp.asarray(images_all[chunk]),
+                                  jnp.asarray(labels_all[chunk]))
+            # window readback BEFORE the next upload: host numpy is the
+            # accumulator, the device never holds more than one window
+            cams_np[start * B : (start + k0) * B] = np.asarray(
+                c[:k0]).reshape(-1, image_size, image_size)
+            store_np[start * B : (start + k0) * B] = np.asarray(
+                im[:k0]).reshape(-1, image_size, image_size, 3)
+        return ResidentCams(images_all, cams_np[:n], store_np[:n],
+                            image_size, B, on_device=False)
+
     dev_images = jax.device_put(jnp.asarray(images_all))
     dev_labels = jax.device_put(jnp.asarray(labels_all))
 
     @jax.jit
     def sweep(variables, dev_images, dev_labels, idxs):
         def body(_, idx):
-            raw = dev_images[idx]
-            lab = dev_labels[idx]
-            x, _unused = preprocess_batch(raw, None, size=image_size)
-            cam, _logits = layercam(
-                model, variables, x, lab,
-                target_layers=tuple(target_layers), alpha=alpha,
-                alpha_mode=alpha_mode, output_size=image_size,
-            )
-            return None, (cam.astype(jnp.float32), _store_image_u8(x))
+            return None, cam_batch(variables, dev_images[idx], dev_labels[idx])
         _, (cams, imgs) = jax.lax.scan(body, None, idxs)
         return cams, imgs                      # [K,B,S,S], [K,B,S,S,3]
 
@@ -156,6 +214,25 @@ def extract_cams(
     return ResidentCams(dev_images, cams, store_imgs, image_size, B)
 
 
+def _derive_batch(raw, cam, cam_thresh, keep_largest, crf, image_size,
+                  crf_items):
+    """The ONE per-batch derivation body — shared by the resident (device
+    gather) and spill (direct content) programs so they cannot drift."""
+    if crf:
+        # script-path variant (AlternatingDirectionCutLoss.py:530-558):
+        # zero the CAM below threshold, then refine with the dense CRF
+        from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf
+
+        x, _unused = preprocess_batch(raw, None, size=image_size)
+        cam_t = jnp.where(cam < cam_thresh, 0.0, cam)
+        m = apply_dense_crf(x * 255.0, cam_t, **dict(crf_items))
+        if keep_largest:
+            m = keep_largest_batch(m)
+    else:
+        m = cam_to_mask(cam, cam_thresh, keep_largest)
+    return m.astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("keep_largest", "crf", "image_size",
                                    "crf_items"))
 def _derive_masks(dev_images, cams, idxs, cam_thresh, keep_largest, crf,
@@ -164,23 +241,27 @@ def _derive_masks(dev_images, cams, idxs, cam_thresh, keep_largest, crf,
     grid combos — cam_thresh is a RUNTIME arg, so the 12-point reference grid
     compiles this once per (keep_largest, crf) rather than per threshold)."""
     def body(_, idx):
-        cam = cams[idx]
-        if crf:
-            # script-path variant (AlternatingDirectionCutLoss.py:530-558):
-            # zero the CAM below threshold, then refine with the dense CRF
-            from weaklysuperviseddl_tpu.masks.densecrf import apply_dense_crf
-
-            raw = dev_images[idx]
-            x, _unused = preprocess_batch(raw, None, size=image_size)
-            cam_t = jnp.where(cam < cam_thresh, 0.0, cam)
-            m = apply_dense_crf(x * 255.0, cam_t, **dict(crf_items))
-            if keep_largest:
-                m = keep_largest_batch(m)
-        else:
-            m = cam_to_mask(cam, cam_thresh, keep_largest)
-        return None, m.astype(jnp.uint8)
+        raw = dev_images[idx] if crf else None
+        return None, _derive_batch(raw, cams[idx], cam_thresh, keep_largest,
+                                   crf, image_size, crf_items)
     _, masks = jax.lax.scan(body, None, idxs)
     return masks                               # [T,B,S,S]
+
+
+@partial(jax.jit, static_argnames=("keep_largest", "crf", "image_size",
+                                   "crf_items"))
+def _derive_masks_direct(images_b, cams_b, cam_thresh, keep_largest, crf,
+                         image_size, crf_items):
+    """Spill-mode derivation: batch CONTENT arrives as arguments (one
+    window's upload) instead of indices into device-resident arrays. Per
+    batch it runs the identical body on identical shapes, so outputs are
+    bit-identical to _derive_masks (tested)."""
+    def body(_, args):
+        raw, cam = args
+        return None, _derive_batch(raw if crf else None, cam, cam_thresh,
+                                   keep_largest, crf, image_size, crf_items)
+    _, masks = jax.lax.scan(body, None, (images_b, cams_b))
+    return masks                               # [K,B,S,S]
 
 
 def masks_from_cams(
@@ -220,16 +301,39 @@ def masks_from_cams(
     image_size = resident.image_size
 
     crf_items = tuple(sorted((crf_kwargs or {}).items())) if use_crf else ()
-    masks = _derive_masks(
-        resident.images_raw, resident.cams, jnp.asarray(idx_table),
-        jnp.float32(cam_thresh), keep_largest_masks, use_crf, image_size,
-        crf_items)
-    # two bulk readbacks: masks + the (reordered) store images
-    masks_np = np.asarray(masks).reshape(-1, image_size, image_size)[:n]
-    if n == n_all and np.array_equal(order, np.arange(n_all)):
-        images_np = np.asarray(resident.store_images)
+    if resident.on_device:
+        masks = _derive_masks(
+            resident.images_raw, resident.cams, jnp.asarray(idx_table),
+            jnp.float32(cam_thresh), keep_largest_masks, use_crf, image_size,
+            crf_items)
+        # two bulk readbacks: masks + the (reordered) store images
+        masks_np = np.asarray(masks).reshape(-1, image_size, image_size)[:n]
+        if n == n_all and np.array_equal(order, np.arange(n_all)):
+            images_np = np.asarray(resident.store_images)
+        else:
+            images_np = np.asarray(resident.store_images[jnp.asarray(order)])
     else:
-        images_np = np.asarray(resident.store_images[jnp.asarray(order)])
+        # spill mode: stream windows of K batches through the device —
+        # upload window content, derive, read back; HBM holds one window
+        K = min(8, T)
+        masks_np = np.empty((T * B, image_size, image_size), np.uint8)
+        dummy = np.zeros((K, B, 1, 1, 3), np.uint8)  # crf=False: raw unused
+        for start in range(0, T, K):
+            chunk = idx_table[start : start + K]
+            k0 = chunk.shape[0]
+            if k0 < K:  # keep the jit shape static across windows
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], K - k0, axis=0)])
+            imgs_b = (jnp.asarray(resident.images_raw[chunk]) if use_crf
+                      else jnp.asarray(dummy))
+            m = _derive_masks_direct(
+                imgs_b, jnp.asarray(resident.cams[chunk]),
+                jnp.float32(cam_thresh), keep_largest_masks, use_crf,
+                image_size, crf_items)
+            masks_np[start * B : (start + k0) * B] = np.asarray(
+                m[:k0]).reshape(-1, image_size, image_size)
+        masks_np = masks_np[:n]
+        images_np = resident.store_images[order]  # host numpy gather
 
     for img_id in range(n):
         store.put(f"{img_id:05d}", images_np[img_id], masks_np[img_id])
@@ -253,6 +357,7 @@ def generate_pseudo_masks(
     use_crf: bool = False,
     crf_kwargs: dict | None = None,
     batches_per_dispatch: int | None = None,
+    spill_to_host: bool = False,
 ) -> MaskStore:
     """Device-resident batched pseudo-mask generation over a loader of Batch
     objects — extract_cams ∘ masks_from_cams (see module docstring).
@@ -276,6 +381,7 @@ def generate_pseudo_masks(
         loader, model, variables, alpha=alpha, target_layers=target_layers,
         alpha_mode=alpha_mode, image_size=image_size, max_images=max_images,
         batches_per_dispatch=batches_per_dispatch,
+        spill_to_host=spill_to_host,
     )
     return masks_from_cams(
         resident, cam_thresh=cam_thresh, keep_largest_masks=keep_largest_masks,
