@@ -73,6 +73,53 @@ def test_jax_attention_matches_brute_force():
     assert agree == 1.0, agree
 
 
+def test_cross_filter_rectangular_matches_brute_force():
+    """gaussian_filter_xla_cross / gaussian_filter_cross (interpret) with
+    Nq ≠ Nk must equal the literal Σ_j exp(-½‖fq_i-fk_j‖²)·v_j — the
+    primitive under the CRF 'subsampled' backend."""
+    from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
+        gaussian_filter_cross, gaussian_filter_xla_cross)
+
+    rng = np.random.default_rng(7)
+    Nq, Nk = 531, 187  # ragged on both sides
+    fq = rng.uniform(0, 20, (Nq, 5)).astype(np.float32)
+    fk = rng.uniform(0, 20, (Nk, 5)).astype(np.float32)
+    v = rng.uniform(size=(Nk, 2)).astype(np.float32)
+    d2 = ((fq[:, None, :] - fk[None, :, :]) ** 2).sum(-1)
+    want = np.exp(-0.5 * d2.astype(np.float64)) @ v.astype(np.float64)
+
+    got_xla = np.asarray(gaussian_filter_xla_cross(
+        jnp.asarray(fq), jnp.asarray(fk), jnp.asarray(v)))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-4, atol=1e-5)
+
+    for plan in ("vpu", "mxu"):
+        got = np.asarray(gaussian_filter_cross(
+            jnp.asarray(fq), jnp.asarray(fk), jnp.asarray(v),
+            interpret=True, plan=plan))
+        rel = np.abs(got - want) / np.abs(want).clip(1e-9)
+        assert rel.mean() < 5e-3, (plan, rel.mean())
+
+
+def test_crf_subsampled_backend_close_to_exact():
+    """The 'subsampled' backend (full-res queries × stride-2 key subgrid,
+    round 5): a grid quadrature of the σ_xy-smooth bilateral sum, with the
+    1/stride² scale cancelling in the symmetric normalization. At test-scale
+    reference-shaped params it must track the exact attention marginals to
+    approximation tolerance; the reference-params speed/agreement
+    measurement on real hardware is scripts/bench_crf.py → BASELINE.md."""
+    img, _, probs, _ = make_case(1)
+    q_exact = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="attention", **PARAMS))[0]
+    q_sub = np.asarray(densecrf_inference(
+        jnp.asarray(probs)[None], jnp.asarray(img.astype(np.float32))[None],
+        bilat_backend="subsampled", key_stride=2, **PARAMS))[0]
+    mae = np.abs(q_exact - q_sub).mean()
+    agree = (q_exact.argmax(-1) == q_sub.argmax(-1)).mean()
+    assert mae < 0.05, mae
+    assert agree > 0.97, agree
+
+
 @pytest.mark.parametrize("plan", ["vpu", "mxu"])
 def test_pallas_bilateral_matches_xla(plan):
     """The Pallas flash-style kernel (interpret mode off-TPU) vs the plain XLA

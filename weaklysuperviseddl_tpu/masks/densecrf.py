@@ -56,6 +56,7 @@ from weaklysuperviseddl_tpu.masks.permutohedral import (
 )
 from weaklysuperviseddl_tpu.ops.pallas_bilateral import (
     gaussian_filter,
+    gaussian_filter_rect,
     gaussian_filter_rff,
     rff_basis,
 )
@@ -181,7 +182,7 @@ def _sym_message(filter_fn, Q, inv_sqrt):
     jax.jit,
     static_argnames=(
         "gauss_sxy", "gauss_compat", "bilat_sxy", "bilat_srgb", "bilat_compat",
-        "n_iters", "bilat_backend", "rff_dim",
+        "n_iters", "bilat_backend", "rff_dim", "key_stride",
     ),
 )
 def densecrf_inference(
@@ -195,13 +196,28 @@ def densecrf_inference(
     n_iters: int = 5,
     bilat_backend: str = "attention",
     rff_dim: int = 4096,
+    key_stride: int = 2,
 ):
-    """Mean-field marginals [B,H,W,L]."""
+    """Mean-field marginals [B,H,W,L].
+
+    ``bilat_backend="subsampled"``: the round-5 fast approximation — full-
+    resolution QUERIES against a stride-``key_stride`` subgrid of KEYS
+    through the same exact attention kernel (ops/pallas_bilateral.
+    gaussian_filter_rect). The bilateral sum Σ_j k(f_i,f_j)·v_j is a grid
+    quadrature of a σ_xy=50-smooth spatial integrand, so a stride-2 subgrid
+    estimates it with small relative error while cutting the dominant N²
+    exponent work by stride² (4×). The uniform 1/stride² scale cancels in
+    the symmetric normalization k/√(n_q·n_k) — norms are computed through
+    the SAME subsampled operator — so no rescaling appears anywhere.
+    Quality vs the exact backend is measured at reference params in
+    scripts/bench_crf.py (mask agreement bar: BASELINE.md)."""
     images = images.astype(jnp.float32)
-    if bilat_backend not in ("attention", "lattice", "grid", "rff"):
+    if bilat_backend not in ("attention", "subsampled", "lattice", "grid",
+                             "rff"):
         raise ValueError(f"unknown bilat_backend {bilat_backend!r}")
     H, W = probs.shape[1:3]
-    if bilat_backend == "attention" and jax.default_backend() != "tpu" and H * W > 64 * 64:
+    if (bilat_backend in ("attention", "subsampled")
+            and jax.default_backend() != "tpu" and H * W > 64 * 64):
         # the exact O(N²) path is an MXU design: off-TPU its XLA fallback
         # would materialize an N×N kernel matrix (~10 GB at 224²). Keep exact
         # attention for small (test-scale) images; route production sizes to
@@ -228,6 +244,7 @@ def densecrf_inference(
             return _gaussian_filter(v, gauss_sxy)
 
         feats = None
+        feats_k = None
         pre = None
         if bilat_compat:
             if bilat_backend == "grid":
@@ -235,15 +252,18 @@ def densecrf_inference(
             else:
                 yy = jnp.arange(hw[0], dtype=jnp.float32)[:, None] / bilat_sxy
                 xx = jnp.arange(hw[1], dtype=jnp.float32)[None, :] / bilat_sxy
-                feats = jnp.stack(
+                feats_hw = jnp.stack(
                     [jnp.broadcast_to(xx, hw), jnp.broadcast_to(yy, hw)]
                     + [img[..., c] / bilat_srgb for c in range(3)],
                     axis=-1,
-                ).reshape(-1, 5)
+                )                                             # [H,W,5]
+                feats = feats_hw.reshape(-1, 5)
                 if bilat_backend == "lattice":
                     pre = permutohedral_precompute(feats)
                 elif bilat_backend == "rff":
                     pre = rff_basis(feats, dim=rff_dim)
+                elif bilat_backend == "subsampled":
+                    feats_k = feats_hw[::key_stride, ::key_stride].reshape(-1, 5)
 
         def bilat(v):
             C = v.shape[-1]
@@ -253,6 +273,12 @@ def densecrf_inference(
                 return permutohedral_filter(v.reshape(-1, C), pre).reshape(v.shape)
             if bilat_backend == "rff":
                 return gaussian_filter_rff(pre, v.reshape(-1, C)).reshape(v.shape)
+            if bilat_backend == "subsampled":
+                # full-res queries × stride-s key subgrid; the uniform
+                # 1/stride² quadrature scale cancels in _sym_message's
+                # symmetric normalization (norms use this same operator)
+                vk = v[::key_stride, ::key_stride].reshape(-1, C)
+                return gaussian_filter_rect(feats, feats_k, vk).reshape(v.shape)
             return gaussian_filter(feats, v.reshape(-1, C)).reshape(v.shape)
 
         # kernel norms are iteration-invariant: filtering ones 2× here instead

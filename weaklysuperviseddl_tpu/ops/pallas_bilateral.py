@@ -200,27 +200,27 @@ def _make_kernel(dims):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "plan"))
-def gaussian_filter_pallas(feats, values, interpret: bool = False,
-                           plan: str = "mxu"):
-    """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C].
-
-    plan="mxu" (default, d ≤ 20): exponent as one bf16 MXU matmul over
-    split-bf16 augmented columns (_augment_split) — more accurate than the
-    fp32 VPU FMA form AND ~15% faster (exp overlaps the MXU; BASELINE.md).
-    plan="vpu" (d ≤ 6): the round-3 fp32 broadcast-FMA exponent, kept as
-    the measured alternative. For d > 20 use gaussian_filter_xla.
-    """
-    N, C = values.shape
-    d = feats.shape[1]
+def gaussian_filter_cross(feats_q, feats_k, values, interpret: bool = False,
+                          plan: str = "mxu"):
+    """RECTANGULAR exact Gaussian-kernel filter:
+    out_i = Σ_j exp(-½‖fq_i - fk_j‖²)·v_j over feats_q [Nq,d], feats_k
+    [Nk,d], values [Nk,C] → [Nq,C]. With feats_q is feats_k this is the
+    square filter (gaussian_filter_pallas delegates here); with feats_k a
+    strided subsample of the pixel grid it is the primitive of the CRF's
+    "subsampled" backend (masks/densecrf.py): Nq·Nk exponent entries instead
+    of Nq², an s²× MXU-work cut at key stride s."""
+    Nq, d = feats_q.shape
+    Nk, C = values.shape
     if C > _CP:
         raise ValueError(f"C={C} > {_CP}")
-    npad_q = (-N) % _BQ
-    npad_k = (-N) % _BK
+    npad_q = (-Nq) % _BQ
+    npad_k = (-Nk) % _BK
     v = jnp.pad(values.astype(jnp.float32), ((0, npad_k), (0, _CP - C)))
-    nq, nk = (N + npad_q) // _BQ, (N + npad_k) // _BK
+    nq, nk = (Nq + npad_q) // _BQ, (Nk + npad_k) // _BK
 
     if plan == "mxu":
-        qs, ks = _augment_split(feats)
+        qs, _ = _augment_split(feats_q)
+        _, ks = _augment_split(feats_k)
         qs = jnp.pad(qs, ((0, npad_q), (0, 0)))
         # padded key rows: -1e30 in the first sq-component column (paired
         # with the q-side exact ones) → exponent -1e30, exp() exactly 0
@@ -229,7 +229,8 @@ def gaussian_filter_pallas(feats, values, interpret: bool = False,
         kt = jnp.concatenate([ks, kpad], axis=0).T         # [_KSPLIT, Nk]
         kernel, aug_q, kdim = _kernel_mxu, qs, _KSPLIT
     else:
-        aug_q, aug_k = _augment(feats.astype(jnp.float32))
+        aug_q, _ = _augment(feats_q.astype(jnp.float32))
+        _, aug_k = _augment(feats_k.astype(jnp.float32))
         aug_q = jnp.pad(aug_q, ((0, npad_q), (0, 0)))
         # padded key rows get sq = -1e30 (last column): the exponent they
         # induce is -1e30·1 and exp() underflows to exactly 0, so the kernel
@@ -254,15 +255,30 @@ def gaussian_filter_pallas(feats, values, interpret: bool = False,
         ],
         out_specs=pl.BlockSpec((_BQ, _CP), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + npad_q, _CP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Nq + npad_q, _CP), jnp.float32),
         interpret=interpret,
     )(aug_q, kt, v)
-    return out[:N, :C]
+    return out[:Nq, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "plan"))
+def gaussian_filter_pallas(feats, values, interpret: bool = False,
+                           plan: str = "mxu"):
+    """Exact Gaussian-kernel filter: feats [N,d], values [N,C] → [N,C].
+
+    plan="mxu" (default, d ≤ 20): exponent as one bf16 MXU matmul over
+    split-bf16 augmented columns (_augment_split) — more accurate than the
+    fp32 VPU FMA form AND ~15% faster (exp overlaps the MXU; BASELINE.md).
+    plan="vpu" (d ≤ 6): the round-3 fp32 broadcast-FMA exponent, kept as
+    the measured alternative. For d > 20 use gaussian_filter_xla.
+    """
+    return gaussian_filter_cross(feats, feats, values, interpret=interpret,
+                                 plan=plan)
 
 
 @jax.jit
-def gaussian_filter_xla(feats, values):
-    """Reference/fallback path (identical math, fp32 throughout).
+def gaussian_filter_xla_cross(feats_q, feats_k, values):
+    """Rectangular reference/fallback path (identical math, fp32 throughout).
 
     The exponent matmul must run at HIGHEST precision: it carries ‖f‖² ≈ 1e3
     terms whose bf16-scale rounding (XLA's default-precision gemm lowers to a
@@ -271,13 +287,20 @@ def gaussian_filter_xla(feats, values):
     on this host: default precision gave exponent error +15.4 where a true
     fp32 gemm gives 2.4e-4.
     """
-    aug_q, aug_k = _augment(feats.astype(jnp.float32))
+    aug_q, _ = _augment(feats_q.astype(jnp.float32))
+    _, aug_k = _augment(feats_k.astype(jnp.float32))
     kernel = jnp.exp(
         jnp.dot(aug_q, aug_k.T, precision=jax.lax.Precision.HIGHEST)
     )
     return jnp.dot(
         kernel, values.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST
     )
+
+
+@jax.jit
+def gaussian_filter_xla(feats, values):
+    """Square reference/fallback path — see gaussian_filter_xla_cross."""
+    return gaussian_filter_xla_cross(feats, feats, values)
 
 
 # ---------------------------------------------------------------------------
@@ -347,3 +370,14 @@ def gaussian_filter(feats, values, plan: str = "auto"):
             plan = "mxu"
         return gaussian_filter_pallas(feats, values, plan=plan)
     return gaussian_filter_xla(feats, values)
+
+
+def gaussian_filter_rect(feats_q, feats_k, values, plan: str = "auto"):
+    """Rectangular dispatch twin of gaussian_filter (same routing rules)."""
+    if jax.default_backend() == "tpu" and (
+        plan != "auto" or 6 * feats_q.shape[1] + 6 <= _KSPLIT
+    ):
+        if plan == "auto":
+            plan = "mxu"
+        return gaussian_filter_cross(feats_q, feats_k, values, plan=plan)
+    return gaussian_filter_xla_cross(feats_q, feats_k, values)

@@ -115,6 +115,8 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print,
                 gauss_sxy=cfg.mask.crf_gaussian_sxy, gauss_compat=cfg.mask.crf_gaussian_compat,
                 bilat_sxy=cfg.mask.crf_bilateral_sxy, bilat_srgb=cfg.mask.crf_bilateral_srgb,
                 bilat_compat=cfg.mask.crf_bilateral_compat, n_iters=cfg.mask.crf_iters,
+                bilat_backend=cfg.mask.crf_backend,
+                key_stride=cfg.mask.crf_key_stride,
             ) if cfg.mask.use_crf else None,
         )
     log(f"Pseudo masks generated: {len(store)}")
