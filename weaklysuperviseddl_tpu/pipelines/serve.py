@@ -264,23 +264,19 @@ class Predictor:
 
         n = images.shape[0]
         out = None
-        pending: deque = deque()  # (start, count, in-flight device result)
+        pending: deque = deque()  # (start, in-flight device result, count)
 
         def drain_one():
             nonlocal out
-            s0, c0, dev = pending.popleft()
-            host = self._to_host(dev)
+            s0, dev, c0 = pending.popleft()
+            host = self.readback(dev, c0)
             if out is None:
                 out = np.empty((n,) + host.shape[1:], host.dtype)
-            out[s0 : s0 + c0] = host[:c0]
+            out[s0 : s0 + c0] = host
 
         for s in range(0, n, self.max_batch):
-            chunk = images[s : s + self.max_batch]
-            c = chunk.shape[0]
-            if c < self.max_batch:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], self.max_batch - c, axis=0)])
-            pending.append((s, c, self._dispatch(jnp.asarray(chunk))))
+            dev, c = self.dispatch_async(images[s : s + self.max_batch])
+            pending.append((s, dev, c))
             if len(pending) > in_flight:
                 drain_one()
         while pending:
