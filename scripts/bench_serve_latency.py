@@ -106,6 +106,9 @@ def main():
                          "measure shed-rate and bounded accepted-p99, not "
                          "throughput")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="server request-queue bound (503 shed past it)")
+    ap.add_argument("--in-flight", type=int, default=4)
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--no-packed", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_SERVE_LATENCY.json"))
@@ -137,7 +140,21 @@ def main():
     print("warmup...", flush=True)
     pred.warmup(all_buckets=True)
 
-    server = pred.serve_http(max_wait_ms=args.max_wait_ms)
+    # no-HTTP device ceiling through the same relay (predict_many, batch
+    # max_batch, in-flight pipelined): the number the HTTP front is judged
+    # against when attributing the residual gap
+    n_ceiling = args.max_batch * 8
+    big = np.concatenate([images] * 8)
+    pred.predict_many(big)  # warm
+    t0 = time.perf_counter()
+    pred.predict_many(big)
+    ceiling = n_ceiling / (time.perf_counter() - t0)
+    print(f"no-HTTP predict_many ceiling through relay: "
+          f"{ceiling:.1f} img/s", flush=True)
+
+    server = pred.serve_http(max_wait_ms=args.max_wait_ms,
+                             max_queue=args.max_queue,
+                             in_flight=args.in_flight)
     url = f"http://127.0.0.1:{server.port}/predict"
     print(f"serving on {url}", flush=True)
 
@@ -190,7 +207,10 @@ def main():
             "protocol": "HTTP POST np.save bodies, closed-loop clients",
             "duration_s_per_level": args.duration,
             "device": f"{dev.platform} {dev.device_kind}",
+            "max_queue": args.max_queue,
+            "in_flight": args.in_flight,
         },
+        "no_http_predict_many_img_per_s": round(ceiling, 1),
         "levels": rows,
         "server_stats": server_stats,
         "notes": "latency percentiles are over ACCEPTED requests; shed_503 "

@@ -428,9 +428,22 @@ class MaskServer:
                 batch = [job]
                 deadline = time.monotonic() + max_wait_s
                 while len(batch) < pred.max_batch:
+                    now = time.monotonic()
+                    if now >= deadline and not inflight.full():
+                        break
+                    # adaptive window: past the deadline, dispatching would
+                    # BLOCK on the full in-flight queue anyway — keep
+                    # coalescing instead, so batches grow exactly when the
+                    # device is the bottleneck (measured round 5: the fast
+                    # pipelined drain shrank 64-client coalesced batches
+                    # 31→10 and per-dispatch upload overhead ate the win;
+                    # this recovers max-batch dispatches at saturation)
                     try:
-                        nxt = q.get(timeout=max(0.0, deadline - time.monotonic()))
+                        nxt = q.get(timeout=(deadline - now)
+                                    if now < deadline else 0.005)
                     except queue.Empty:
+                        if now >= deadline and inflight.full():
+                            continue
                         break
                     if nxt is None:
                         # finish this batch, then exit (don't re-put: with a
