@@ -652,6 +652,68 @@ def test_mask_server_dispatches_ahead_of_readback():
         server.stop()
 
 
+def test_mask_server_adaptive_coalescing_grows_batches_at_saturation():
+    """The round-5 adaptive window, asserted structurally: once the in-flight
+    queue is full, dispatching would block anyway, so the dispatcher must
+    KEEP coalescing past max_wait_ms — batches grow exactly when the device
+    is the bottleneck (without this the fast pipelined drain shrank
+    64-client coalesced batches 31→10 and per-dispatch upload overhead ate
+    the pipelining win, BASELINE.md round 5). Deterministic: readbacks are
+    gated shut, so with in_flight=1 the queue stays full until released."""
+    import threading
+    import time
+
+    from weaklysuperviseddl_tpu.pipelines.serve import MaskServer
+
+    gate = threading.Event()
+    stub = _StubPredictor(readback_gate=gate, max_batch=4)
+    server = MaskServer(stub, max_wait_ms=1.0, in_flight=1)
+    server.start()
+    img = np.zeros((8, 8, 3), np.uint8)
+    try:
+        results = {}
+
+        def post(key):
+            results[key] = _post_npy(server.port, img)
+
+        # a: dispatched, then held by the gated drain (off the in-flight q)
+        ta = threading.Thread(target=post, args=("a",))
+        ta.start()
+        assert stub.dispatched.wait(10)
+        # b: dispatched into the in-flight queue → the queue is now FULL
+        # and stays full while a's readback is gated shut
+        tb = threading.Thread(target=post, args=("b",))
+        tb.start()
+        deadline = time.monotonic() + 10
+        while stub.dispatch_count < 2:
+            assert time.monotonic() < deadline, "b never dispatched"
+            time.sleep(0.005)
+        # c,d,e arrive far apart relative to max_wait_ms=1: a fixed window
+        # would dispatch each alone; the adaptive window must hold them in
+        # ONE growing batch because dispatching would block on the full queue
+        rest = [threading.Thread(target=post, args=(k,)) for k in "cde"]
+        for t in rest:
+            t.start()
+            time.sleep(0.05)
+        deadline = time.monotonic() + 10
+        while server._queue.qsize() > 0 or server.total_requests < 5:
+            assert time.monotonic() < deadline, "c/d/e never queued"
+            time.sleep(0.005)
+        time.sleep(0.1)  # dispatcher is now parked in the adaptive window
+        assert stub.dispatch_count == 2, (
+            f"dispatched past a full in-flight queue (count="
+            f"{stub.dispatch_count})")
+        gate.set()
+        for t in [ta, tb] + rest:
+            t.join(timeout=30)
+        assert all(results[k][0] == 200 for k in "abcde"), results
+        assert list(server.dispatch_sizes) == [1, 1, 3], (
+            list(server.dispatch_sizes))
+    finally:
+        gate.set()
+        server.stop()
+
+
 def test_pseudo_mask_generation_dispatch_invariance():
     """The device-resident generate_pseudo_masks must produce identical
     stores regardless of batches_per_dispatch grouping, and respect the

@@ -442,7 +442,12 @@ class MaskServer:
                         nxt = q.get(timeout=(deadline - now)
                                     if now < deadline else 0.005)
                     except queue.Empty:
-                        if now >= deadline and inflight.full():
+                        # re-check with a FRESH clock: a get that timed out
+                        # AT the deadline must fall into the adaptive window
+                        # (the stale pre-get `now` would break out, dispatch
+                        # the lone job, and block in inflight.put — exactly
+                        # the coalescing forfeit the window exists to avoid)
+                        if inflight.full() and time.monotonic() >= deadline:
                             continue
                         break
                     if nxt is None:
