@@ -259,9 +259,20 @@ def main():
     # the AlternatingDirectionCutLoss.py:510-567 protocol (CAM → threshold →
     # CRF), exact MXU kernel-attention bilateral (ops/pallas_bilateral.py)
     crf_rate = None
+    crf_backend = None
     if not small and os.environ.get("WSDL_BENCH_CRF", "1") == "1":
+        from weaklysuperviseddl_tpu.config import MaskConfig
         from weaklysuperviseddl_tpu.masks.densecrf import densecrf_inference
 
+        # measure the SHIPPED use_crf default (MaskConfig.crf_backend —
+        # round 5: "subsampled" stride 2, 2.3× the exact backend at ≥0.99
+        # mask agreement; override with WSDL_BENCH_CRF_BACKEND=attention
+        # to bench the exact path)
+        mask_cfg = MaskConfig()
+        crf_backend = os.environ.get(
+            "WSDL_BENCH_CRF_BACKEND", mask_cfg.crf_backend)
+        crf_stride = int(os.environ.get(
+            "WSDL_BENCH_CRF_STRIDE", mask_cfg.crf_key_stride))
         crf_batch = int(os.environ.get("WSDL_BENCH_CRF_BATCH", 4))
         crf_iters = max(1, iters // 8)
         crf_imgs = jnp.asarray(
@@ -275,7 +286,9 @@ def main():
         def crf_stage_n(cam, imgs):
             def body(carry, i):
                 probs = jnp.stack([1.0 - cam, cam], axis=-1) + i.astype(jnp.float32) * 1e-9
-                q = densecrf_inference(jnp.clip(probs, 1e-8, 1.0), imgs)
+                q = densecrf_inference(jnp.clip(probs, 1e-8, 1.0), imgs,
+                                       bilat_backend=crf_backend,
+                                       key_stride=crf_stride)
                 return carry + jnp.sum(jnp.argmax(q, -1)), None
             total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(crf_iters))
             return total
@@ -431,6 +444,7 @@ def main():
             "refine_img_per_s": round(refine_rate, 2),
             "cycle2_img_per_s": round(cycle2, 2),
             "crf_img_per_s": round(crf_rate, 2) if crf_rate else None,
+            "crf_backend": crf_backend if crf_rate else None,
             "crf_vs_baseline": round(crf_vs_baseline, 2) if crf_vs_baseline else None,
             "cycle_crf_on_img_per_s": round(cycle_crf, 2) if cycle_crf else None,
             "cycle_crf_vs_baseline": (
