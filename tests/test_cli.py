@@ -113,3 +113,29 @@ def test_client_command(tmp_path, capsys):
         assert rec["stats"]["total_images"] >= 2
     finally:
         server.stop()
+
+
+def test_client_unreachable_server_exits_nonzero(tmp_path, capsys):
+    """An unreachable server must be a one-line stderr message and exit 1,
+    not a raw urllib traceback (advisor round 4)."""
+    from PIL import Image
+    import numpy as np
+
+    from weaklysuperviseddl_tpu.cli import main
+
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    # a port from the dynamic range with nothing bound to it: connection
+    # refused is immediate (no timeout flake on localhost)
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    rc = main(["client", "--url", f"http://127.0.0.1:{port}",
+               "--image", str(img_path)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "cannot reach" in err and f":{port}" in err, err
+    assert "Traceback" not in err
