@@ -255,6 +255,39 @@ def main():
     seg_mfu = (seg_step_flops / (seg_step_s * peak)
                if seg_step_flops and peak else None)
 
+    # --- stage B': the FrozenBN fine-tuning option (SegConfig.bn_frozen) -----
+    # Opt-in, NOT reference semantics (SegmentationModel.py:59-122 trains BN);
+    # measures what `--seg.bn_frozen true` buys: no batch-stat reductions /
+    # running-stat updates / fusion breaks across the net's ~53 BN layers
+    # (BASELINE.md round-5 FrozenBN record).
+    seg_bn_frozen_rate = None
+    if not small and os.environ.get("WSDL_BENCH_BN_FROZEN", "1") == "1":
+        seg_f = DeepLabV3(num_classes=2, backbone_depth=depth,
+                          width_multiplier=width, dtype=dtype, bn_frozen=True)
+        state_f, tx_f = create_seg_state(seg_f, rngkey, input_size=seg_size,
+                                         lr=1e-4)
+        step_f = make_seg_train_step(seg_f, tx_f)
+
+        @jax.jit
+        def seg_frozen_n(params, stats, opt):
+            def body(carry, i):
+                params, stats, opt = carry
+                x = seg_images + (i.astype(jnp.float32) * 1e-6)
+                params, stats, opt, loss = step_f(
+                    params, stats, opt, x, seg_masks, valid,
+                    jax.random.fold_in(rngkey, i))
+                return (params, stats, opt), loss
+            (params, stats, opt), losses = jax.lax.scan(
+                body, (params, stats, opt), jnp.arange(iters))
+            return jnp.sum(losses)
+
+        float(seg_frozen_n(state_f.params, state_f.batch_stats,
+                           state_f.opt_state))  # compile
+        seg_bn_frozen_rate = max(_stage_rates(
+            lambda: float(seg_frozen_n(state_f.params, state_f.batch_stats,
+                                       state_f.opt_state)),
+            iters * seg_batch))
+
     # --- stage A': pseudo-mask gen with dense-CRF refinement on --------------
     # the AlternatingDirectionCutLoss.py:510-567 protocol (CAM → threshold →
     # CRF), exact MXU kernel-attention bilateral (ops/pallas_bilateral.py)
@@ -441,6 +474,8 @@ def main():
             "fc_img_per_s": round(fc_rate, 2),
             "cam_img_per_s": round(cam_rate, 2),
             "seg_train_img_per_s": round(seg_rate, 2),
+            "seg_bn_frozen_img_per_s": (
+                round(seg_bn_frozen_rate, 2) if seg_bn_frozen_rate else None),
             "refine_img_per_s": round(refine_rate, 2),
             "cycle2_img_per_s": round(cycle2, 2),
             "crf_img_per_s": round(crf_rate, 2) if crf_rate else None,

@@ -488,3 +488,44 @@ def test_program_memos_shared_and_bounded():
     assert 7 in c and 8 not in c
     assert isinstance(seg._EPOCH_PROGRAMS, BoundedCache)
     assert isinstance(seg._TX_CACHE, BoundedCache)
+
+
+def test_seg_bn_frozen_keeps_stats_and_trains():
+    """SegConfig.bn_frozen: BN running stats are untouched by train steps while
+    params (incl. the BN scale/bias affines) still learn; the default
+    (train-mode BN, reference SegmentationModel.py:59-122 semantics) must keep
+    updating stats. Perf rationale: BASELINE.md train-vs-eval-BN A/B."""
+    ds = download_data(None, split="trainval", synthetic_size=8, image_size=48)
+    images = np.stack(ds.images)
+    masks = np.stack([(t == 1).astype(np.uint8) for t in ds.trimaps])
+
+    def run(bn_frozen):
+        model = DeepLabV3(num_classes=2, backbone_depth=18,
+                          width_multiplier=0.25, bn_frozen=bn_frozen)
+        state, tx = create_seg_state(model, jax.random.PRNGKey(0),
+                                     input_size=48, lr=1e-3)
+        stats0 = jax.tree.map(np.asarray, state.batch_stats)
+        params0 = jax.tree.map(np.asarray, state.params)
+        state, loss = train_segmentation_model(
+            model, state, tx, images, masks,
+            num_epochs=2, batch_size=4, seg_size=48, log=lambda s: None,
+        )
+        return stats0, params0, state, loss
+
+    stats0, params0, state, loss = run(bn_frozen=True)
+    assert np.isfinite(loss)
+    # running stats untouched
+    for a, b in zip(jax.tree.leaves(stats0), jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params (incl. BN affines) still learn
+    bn_scale0 = params0["head_bn"]["scale"]
+    bn_scale1 = np.asarray(state.params["head_bn"]["scale"])
+    assert not np.array_equal(bn_scale0, bn_scale1), "BN affine got no grads"
+
+    # default path still updates stats (regression guard for the .get change)
+    stats0, _, state, _ = run(bn_frozen=False)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(stats0), jax.tree.leaves(state.batch_stats))
+    )
+    assert changed, "train-mode BN stopped updating running stats"

@@ -99,6 +99,12 @@ class SegConfig:
     backbone_depth: int = 50
     width_multiplier: float = 1.0
     output_stride: int = 8           # torchvision deeplabv3 uses os=8 ([False, True, True])
+    # FrozenBN fine-tuning: BN uses running stats under train (grads still
+    # reach the BN affines; dropout stays live). Standard recipe when
+    # fine-tuning pretrained weights at small batch; removes the measured
+    # ~2.2 ms/step of batch-stat machinery (BASELINE.md). Off by default —
+    # the reference trains BN (SegmentationModel.py:59-122).
+    bn_frozen: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

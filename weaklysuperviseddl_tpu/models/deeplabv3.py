@@ -97,31 +97,35 @@ class ASPP(nn.Module):
     rates: Sequence[int] = (12, 24, 36)
     dtype: Any = jnp.float32
     dropout: float = 0.5
+    # freeze BN statistics (use running stats, no batch reductions) while the
+    # rest of the module trains — see DeepLabV3.bn_frozen
+    bn_frozen: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        bn_train = train and not self.bn_frozen
         branches = []
 
         b = _conv(self.features, 1, 1, 1, dt, "conv1x1")(x)
-        b = _norm(dt, "bn1x1")(b, use_running_average=not train)
+        b = _norm(dt, "bn1x1")(b, use_running_average=not bn_train)
         branches.append(nn.relu(b))
 
         for i, rate in enumerate(self.rates):
             b = _AtrousTapConv(self.features, rate, dt, name=f"atrous{i}")(x)
-            b = _norm(dt, f"atrous_bn{i}")(b, use_running_average=not train)
+            b = _norm(dt, f"atrous_bn{i}")(b, use_running_average=not bn_train)
             branches.append(nn.relu(b))
 
         # image-pooling branch: global mean → 1×1 conv → BN → relu → broadcast
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         p = _conv(self.features, 1, 1, 1, dt, "pool_conv")(pooled)
-        p = _norm(dt, "pool_bn")(p, use_running_average=not train)
+        p = _norm(dt, "pool_bn")(p, use_running_average=not bn_train)
         p = nn.relu(p)
         branches.append(jnp.broadcast_to(p, x.shape[:3] + (self.features,)))
 
         y = jnp.concatenate(branches, axis=-1)
         y = _conv(self.features, 1, 1, 1, dt, "project")(y)
-        y = _norm(dt, "project_bn")(y, use_running_average=not train)
+        y = _norm(dt, "project_bn")(y, use_running_average=not bn_train)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
         return y
@@ -139,10 +143,19 @@ class DeepLabV3(nn.Module):
     remat: bool = False
     # stem execution plan: "direct" | "s2d" | "pack8" (models/resnet._Stem7x7)
     stem_plan: str = "s2d"
+    # Frozen-BN fine-tuning mode: BN layers use their running statistics even
+    # under train=True (dropout stays active; grads still flow to the BN
+    # scale/bias affines). This is the standard FrozenBN recipe for
+    # fine-tuning from pretrained weights at small batch; it also removes the
+    # measured ~2.2 ms/step of batch-stat reductions and fusion breaks across
+    # the net's ~53 BN layers (BASELINE.md train-BN vs eval-BN A/B). NOT the
+    # reference semantics (SegmentationModel.py:59-122 trains BN) — opt-in.
+    bn_frozen: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        bn_train = train and not self.bn_frozen
         H, W = x.shape[1], x.shape[2]
         feats = ResNetBackbone(
             depth=self.backbone_depth,
@@ -152,12 +165,13 @@ class DeepLabV3(nn.Module):
             remat=self.remat,
             stem_plan=self.stem_plan,
             name="backbone",
-        )(x, train=train)
+        )(x, train=bn_train)  # backbone's only train-dependent behavior is BN
 
         head_ch = max(16, int(256 * self.width_multiplier))
-        y = ASPP(features=head_ch, dtype=dt, name="aspp")(feats["layer4"], train=train)
+        y = ASPP(features=head_ch, dtype=dt, bn_frozen=self.bn_frozen,
+                 name="aspp")(feats["layer4"], train=train)
         y = _conv(head_ch, 3, 1, 1, dt, "head_conv")(y)
-        y = _norm(dt, "head_bn")(y, use_running_average=not train)
+        y = _norm(dt, "head_bn")(y, use_running_average=not bn_train)
         y = nn.relu(y)
         # classifier[4] in the reference: 1×1 conv to num_classes
         logits = nn.Conv(

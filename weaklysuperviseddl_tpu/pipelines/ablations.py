@@ -100,7 +100,7 @@ def run_ablation(
         )
     seg_model = DeepLabV3(
         num_classes=cfg.seg.num_classes, backbone_depth=cfg.seg.backbone_depth,
-        width_multiplier=cfg.seg.width_multiplier,
+        width_multiplier=cfg.seg.width_multiplier, bn_frozen=cfg.seg.bn_frozen,
     )
     state, tx = create_seg_state(
         seg_model, run_key(d.seed, run_id), input_size=d.seg_size, lr=lr

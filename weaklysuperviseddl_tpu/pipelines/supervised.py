@@ -61,6 +61,7 @@ def run_supervised_training(
         num_classes=cfg.seg.num_classes,
         backbone_depth=cfg.seg.backbone_depth,
         width_multiplier=cfg.seg.width_multiplier,
+        bn_frozen=cfg.seg.bn_frozen,
     )
     state, tx = create_seg_state(
         model, jax.random.PRNGKey(cfg.seed), input_size=d.seg_size, lr=cfg.seg.lr

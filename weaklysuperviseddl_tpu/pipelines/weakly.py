@@ -132,6 +132,7 @@ def run_weakly_supervised(cfg: ExperimentConfig, log=print,
         backbone_depth=cfg.seg.backbone_depth,
         width_multiplier=cfg.seg.width_multiplier,
         dtype=jnp.dtype(cfg.seg.dtype),
+        bn_frozen=cfg.seg.bn_frozen,
     )
     seg_state, tx = create_seg_state(
         seg_model, jax.random.PRNGKey(cfg.seed + 1), input_size=d.seg_size,
@@ -208,6 +209,7 @@ def run_weakly_supervised_alternating(
             backbone_depth=cfg.seg.backbone_depth,
             width_multiplier=cfg.seg.width_multiplier,
             dtype=jnp.dtype(cfg.seg.dtype),
+            bn_frozen=cfg.seg.bn_frozen,
         )
         from weaklysuperviseddl_tpu.parallel.mesh import mesh_from_config as _mfc
 

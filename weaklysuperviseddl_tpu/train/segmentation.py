@@ -123,7 +123,8 @@ def make_seg_train_step(model, tx, loss_fn: str = "cross_entropy"):
                 # gather-free CE (see losses/basic.per_example_nll notes)
                 per = jnp.mean(per_example_nll(logits, masks_c), axis=(1, 2))
                 l = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
-            return l, updates["batch_stats"]
+            # a bn_frozen model mutates nothing under mutable=["batch_stats"]
+            return l, updates.get("batch_stats", batch_stats)
 
         (l, new_stats), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
