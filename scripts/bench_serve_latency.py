@@ -35,8 +35,6 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
                   duration_s: float):
     """Closed-loop load: ``concurrency`` client threads each POST
     sequentially for ``duration_s``. Returns per-request latencies (s)."""
-    import urllib.request
-
     bodies = []
     for img in images:
         buf = io.BytesIO()
@@ -52,30 +50,47 @@ def drive_clients(url: str, images: np.ndarray, concurrency: int,
     def client(cid: int):
         # a failed request is recorded and the client keeps offering load —
         # a silently dead thread would shrink the offered concurrency and
-        # overstate the published SLO
-        import urllib.error
+        # overstate the published SLO. One persistent HTTP/1.1 connection
+        # per client thread (the server's keep-alive handler): the
+        # per-request TCP connect + server thread-spawn of HTTP/1.0 was
+        # measurable client+server overhead on a shared host.
+        import http.client
+        import urllib.parse
 
+        u = urllib.parse.urlsplit(url)
         rng = np.random.default_rng(cid)
         local, local_err, local_shed = [], [], 0
+        conn = None
         while time.perf_counter() < stop_at:
             body = bodies[int(rng.integers(len(bodies)))]
             t0 = time.perf_counter()
             try:
-                req = urllib.request.Request(url, data=body, method="POST")
-                with urllib.request.urlopen(req, timeout=120) as r:
-                    r.read()
-            except urllib.error.HTTPError as e:
-                if e.code == 503:
+                if conn is None:
+                    conn = http.client.HTTPConnection(
+                        u.hostname, u.port, timeout=120)
+                conn.request("POST", u.path, body=body)
+                r = conn.getresponse()
+                raw_headers = r.headers
+                r.read()  # drain so the connection is reusable
+                if r.will_close:
+                    conn.close()
+                    conn = None
+                if r.status == 503:
                     # shed by the bounded queue: back off as instructed,
                     # count separately — the SLO (p50/p99) is over ACCEPTED
                     # requests, the shed rate is its own column
                     local_shed += 1
-                    time.sleep(float(e.headers.get("Retry-After", 0.1)) *
-                               (0.5 + rng.random()))
+                    time.sleep(
+                        float(raw_headers.get("Retry-After", 0.1)) *
+                        (0.5 + rng.random()))
                     continue
-                local_err.append(f"HTTP {e.code}: {e.reason}")
-                continue
+                if r.status != 200:
+                    local_err.append(f"HTTP {r.status}: {r.reason}")
+                    continue
             except Exception as e:  # noqa: BLE001 — record, keep driving
+                if conn is not None:
+                    conn.close()
+                    conn = None
                 local_err.append(f"{type(e).__name__}: {e}")
                 continue
             local.append(time.perf_counter() - t0)

@@ -499,6 +499,16 @@ class MaskServer:
                     b.event.set()
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 persistent connections: every response sets
+            # Content-Length (send_error composes its own and closes), so a
+            # client can reuse one TCP connection for its whole session —
+            # at 64-256 closed-loop clients the per-request connect +
+            # thread-spawn churn of HTTP/1.0 was pure overhead on the
+            # serving host. Idle connections are reaped by the socket
+            # timeout (close_connection on timeout).
+            protocol_version = "HTTP/1.1"
+            timeout = 60
+
             def do_GET(self):
                 import json as _json
 
@@ -675,6 +685,12 @@ class MaskClient:
     1-3 KB down per 256² image vs 196 KB / 65 KB raw). Both return the
     same uint8 {0,1} [size, size] mask (bit-equal: the server decodes PNG
     requests to the identical uint8 array before dispatch).
+
+    One TCP connection per client instance (HTTP/1.1 keep-alive against the
+    MaskServer's persistent handler); a stale/closed connection is rebuilt
+    transparently, and HTTP error statuses still raise
+    ``urllib.error.HTTPError`` so existing callers (cli client command) see
+    the urllib semantics. NOT thread-safe — use one MaskClient per thread.
     """
 
     def __init__(self, base_url: str, wire: str = "npy",
@@ -683,15 +699,56 @@ class MaskClient:
         self.base_url = base_url.rstrip("/")
         self.wire = wire
         self.timeout = timeout
+        self._conn = None
+
+    def _request(self, method: str, path: str, body=None,
+                 headers: dict | None = None):
+        """Issue one request on the persistent connection. Returns
+        (response_headers, raw_body); raises urllib.error.HTTPError on
+        HTTP >= 400 (urllib compatibility) and OSError kin on transport
+        failure. Retries ONCE on a stale kept-alive connection (the server
+        may have reaped it between requests)."""
+        import http.client
+        import urllib.error
+        import urllib.parse
+
+        for attempt in (0, 1):
+            try:
+                if self._conn is None:
+                    u = urllib.parse.urlsplit(self.base_url)
+                    self._conn = http.client.HTTPConnection(
+                        u.hostname, u.port or 80, timeout=self.timeout)
+                self._conn.request(method, path, body=body,
+                                   headers=headers or {})
+                r = self._conn.getresponse()
+                raw = r.read()  # drain fully so the connection is reusable
+                if r.will_close:
+                    self._conn.close()
+                    self._conn = None
+                if r.status >= 400:
+                    raise urllib.error.HTTPError(
+                        self.base_url + path, r.status, r.reason,
+                        r.headers, io.BytesIO(raw))
+                return r.headers, raw
+            except urllib.error.HTTPError:
+                raise  # a real HTTP response, not a transport failure
+            except (http.client.HTTPException, ConnectionError,
+                    TimeoutError, OSError):
+                if self._conn is not None:
+                    self._conn.close()
+                    self._conn = None
+                if attempt:
+                    raise
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
 
     def _post(self, body: bytes, headers: dict) -> "np.ndarray":
-        import urllib.request
-
-        req = urllib.request.Request(self.base_url + "/predict", data=body,
-                                     method="POST", headers=headers)
-        with urllib.request.urlopen(req, timeout=self.timeout) as r:
-            ctype = r.headers.get("Content-Type", "")
-            raw = r.read()
+        rheaders, raw = self._request("POST", "/predict", body=body,
+                                      headers=headers)
+        ctype = rheaders.get("Content-Type", "")
         if ctype == "image/png":
             from PIL import Image
 
@@ -730,11 +787,9 @@ class MaskClient:
 
     def _get_json(self, path: str) -> dict:
         import json
-        import urllib.request
 
-        with urllib.request.urlopen(self.base_url + path,
-                                    timeout=self.timeout) as r:
-            return json.load(r)
+        _, raw = self._request("GET", path)
+        return json.loads(raw)
 
     def healthz(self) -> dict:
         return self._get_json("/healthz")
