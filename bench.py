@@ -83,6 +83,31 @@ def _net(raw, floor):
     return max(raw - floor, 0.2 * raw)
 
 
+def make_scanned_seg_stage(step, images, masks, valid, rngkey, iters):
+    """The canonical in-jit timing harness for a seg train step: ``iters``
+    steps under one lax.scan (perturb the input by i*1e-6 so XLA cannot CSE
+    iterations), one scalar readback. Shared by the headline seg stage, the
+    FrozenBN A/B stage, and scripts/bench_bn_frozen.py so all three time the
+    SAME program shape."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def stage_n(params, stats, opt):
+        def body(carry, i):
+            params, stats, opt = carry
+            x = images + (i.astype(jnp.float32) * 1e-6)
+            params, stats, opt, loss = step(
+                params, stats, opt, x, masks, valid,
+                jax.random.fold_in(rngkey, i))
+            return (params, stats, opt), loss
+        (params, stats, opt), losses = jax.lax.scan(
+            body, (params, stats, opt), jnp.arange(iters))
+        return jnp.sum(losses)
+
+    return stage_n
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -220,19 +245,8 @@ def main():
     seg_masks = jnp.asarray(rng.integers(0, 2, (seg_batch, seg_size, seg_size)).astype(np.int32))
     valid = jnp.ones((seg_batch,), bool)
 
-    @jax.jit
-    def seg_stage_n(params, stats, opt):
-        def body(carry, i):
-            params, stats, opt = carry
-            x = seg_images + (i.astype(jnp.float32) * 1e-6)
-            params, stats, opt, loss = step(
-                params, stats, opt, x, seg_masks, valid, jax.random.fold_in(rngkey, i)
-            )
-            return (params, stats, opt), loss
-        (params, stats, opt), losses = jax.lax.scan(
-            body, (params, stats, opt), jnp.arange(iters)
-        )
-        return jnp.sum(losses)
+    seg_stage_n = make_scanned_seg_stage(
+        step, seg_images, seg_masks, valid, rngkey, iters)
 
     float(seg_stage_n(state.params, state.batch_stats, state.opt_state))  # compile
     seg_rates = _stage_rates(
@@ -267,19 +281,8 @@ def main():
         state_f, tx_f = create_seg_state(seg_f, rngkey, input_size=seg_size,
                                          lr=1e-4)
         step_f = make_seg_train_step(seg_f, tx_f)
-
-        @jax.jit
-        def seg_frozen_n(params, stats, opt):
-            def body(carry, i):
-                params, stats, opt = carry
-                x = seg_images + (i.astype(jnp.float32) * 1e-6)
-                params, stats, opt, loss = step_f(
-                    params, stats, opt, x, seg_masks, valid,
-                    jax.random.fold_in(rngkey, i))
-                return (params, stats, opt), loss
-            (params, stats, opt), losses = jax.lax.scan(
-                body, (params, stats, opt), jnp.arange(iters))
-            return jnp.sum(losses)
+        seg_frozen_n = make_scanned_seg_stage(
+            step_f, seg_images, seg_masks, valid, rngkey, iters)
 
         float(seg_frozen_n(state_f.params, state_f.batch_stats,
                            state_f.opt_state))  # compile
@@ -327,8 +330,10 @@ def main():
             return total
 
         float(crf_stage_n(crf_cam, crf_imgs))  # compile
-        crf_rate = crf_iters * crf_batch / _net(
-            _timed(lambda: float(crf_stage_n(crf_cam, crf_imgs))), floor)
+        crf_rates = _stage_rates(
+            lambda: float(crf_stage_n(crf_cam, crf_imgs)),
+            crf_iters * crf_batch)
+        crf_rate = max(crf_rates)
 
     # --- stage C: alternating-direction refinement (HOT LOOP #5) -------------
     # reference AlternatingDirectionCutLoss.py:736-757 — per-image Adam-on-X,
@@ -399,7 +404,7 @@ def main():
                 return tot
             float(n_iter(srv_imgs))  # compile
             return iters * srv_batch / _net(
-                _timed(lambda: float(n_iter(srv_imgs))), floor)
+                _timed(lambda: float(n_iter(srv_imgs)), repeats), floor)
 
         serve_rate = serve_scan(serve_fwd)
         q = Int8Quantizer(serve_fwd, (srv_imgs,))
@@ -435,6 +440,14 @@ def main():
     cycle_crf = (
         1.0 / (1.0 / fc_rate + 1.0 / cam_rate + 1.0 / crf_rate + 1.0 / seg_rate
                + 1.0 / refine_rate)
+        if crf_rate else None
+    )
+    # same per-run pairing discipline as cycle_runs: the CRF-on cycle is a
+    # headline number in the E2E records, so it carries a distribution too
+    cycle_crf_runs = (
+        [1.0 / (1.0 / fc_rates[i] + 1.0 / cam_rates[i] + 1.0 / crf_rates[i]
+                + 1.0 / seg_rates[i] + 1.0 / refine_rates[i])
+         for i in range(repeats)]
         if crf_rate else None
     )
 
@@ -482,6 +495,9 @@ def main():
             "crf_backend": crf_backend if crf_rate else None,
             "crf_vs_baseline": round(crf_vs_baseline, 2) if crf_vs_baseline else None,
             "cycle_crf_on_img_per_s": round(cycle_crf, 2) if cycle_crf else None,
+            "cycle_crf_runs_img_per_s": (
+                [round(c, 1) for c in cycle_crf_runs]
+                if cycle_crf_runs else None),
             "cycle_crf_vs_baseline": (
                 round(cycle_crf_vs_baseline, 2) if cycle_crf_vs_baseline else None),
             "serve_img_per_s": round(serve_rate, 2) if serve_rate else None,

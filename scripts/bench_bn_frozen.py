@@ -58,19 +58,12 @@ def main():
                         dtype=jnp.bfloat16, bn_frozen=bn_frozen)
         state, tx = create_seg_state(seg, rngkey, input_size=S, lr=1e-4)
         step = make_seg_train_step(seg, tx)
+        # the SAME in-jit scan harness bench.py's headline seg stage times —
+        # a drifted copy here would silently A/B a different program
+        from bench import make_scanned_seg_stage
 
-        @jax.jit
-        def stage_n(params, stats, opt):
-            def body(carry, i):
-                params, stats, opt = carry
-                x = images + (i.astype(jnp.float32) * 1e-6)
-                params, stats, opt, l = step(
-                    params, stats, opt, x, masks, valid,
-                    jax.random.fold_in(rngkey, i))
-                return (params, stats, opt), l
-            (_, _, _), losses = jax.lax.scan(
-                body, (params, stats, opt), jnp.arange(iters))
-            return losses[-1]
+        stage_n = make_scanned_seg_stage(step, images, masks, valid, rngkey,
+                                         iters)
 
         float(stage_n(state.params, state.batch_stats, state.opt_state))  # compile
         times = []

@@ -582,9 +582,65 @@ def test_mask_server_rejects_oversized_body_413():
     try:
         status, _, _ = _post_npy(server.port, np.zeros((64, 64, 3), np.uint8))
         assert status == 413, status
+        # a NEGATIVE Content-Length must hit the same guard: read(-1) would
+        # be an unbounded read-to-EOF — the exact exhaustion the cap prevents
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        try:
+            conn.putrequest("POST", "/predict")
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()
+            assert conn.getresponse().status == 413
+        finally:
+            conn.close()
         # under the cap still serves
         status, mask, _ = _post_npy(server.port, np.zeros((8, 8, 3), np.uint8))
         assert status == 200 and mask.shape == (8, 8)
+    finally:
+        server.stop()
+
+
+def test_mask_client_url_handling():
+    """MaskClient keeps a base_url's path prefix (reverse-proxy mounts:
+    http://host/masks → /masks/predict) and recognizes the https scheme;
+    non-http(s) schemes fail loudly at construction."""
+    import pytest
+
+    from weaklysuperviseddl_tpu.pipelines.serve import MaskClient
+
+    c = MaskClient("http://example.com:8080/masks/")
+    assert (c._scheme, c._host, c._port) == ("http", "example.com", 8080)
+    assert c._prefix == "/masks"
+    c = MaskClient("https://example.com")
+    assert c._scheme == "https" and c._port is None and c._prefix == ""
+    with pytest.raises(AssertionError):
+        MaskClient("ftp://example.com")
+
+
+def test_mask_server_error_responses_stay_out_of_latency_stats():
+    """500s must NOT enter the /stats latency percentiles: during a
+    device-fault episode, fast-failing errors would make the SLO ring
+    buffer look healthy exactly when the server is erroring."""
+    from weaklysuperviseddl_tpu.pipelines.serve import MaskServer
+
+    class _FaultyPredictor(_StubPredictor):
+        def readback(self, dev, n):
+            raise ValueError("injected device fault")
+
+    server = MaskServer(_FaultyPredictor())
+    server.start()
+    try:
+        status, _, _ = _post_npy(server.port, np.zeros((8, 8, 3), np.uint8))
+        assert status == 500, status
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+            stats = json.load(r)
+        # no accepted-request latency recorded → the window fields are absent
+        assert stats.get("latency_window", 0) == 0
     finally:
         server.stop()
 

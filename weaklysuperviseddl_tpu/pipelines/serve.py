@@ -570,9 +570,12 @@ class MaskServer:
                 t_accept = time.monotonic()
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    if n > server.max_body_bytes:
+                    if n < 0 or n > server.max_body_bytes:
                         # reject BEFORE reading: trusting Content-Length
                         # into rfile.read lets one client exhaust host memory
+                        # (a NEGATIVE length would turn read(n) into an
+                        # unbounded read-to-EOF — same exhaustion, so it is
+                        # rejected by the same guard)
                         with server._stats_lock:
                             server.total_rejected += 1
                         self.send_error(
@@ -624,10 +627,14 @@ class MaskServer:
                     self.send_error(
                         504, f"no result in {server.request_timeout_s}s")
                     return
-                server.latencies_s.append(time.monotonic() - t_accept)
                 if job.error is not None:
                     self.send_error(500, str(job.error))
                     return
+                # only SUCCESSFUL requests enter the /stats SLO percentiles:
+                # during a device-fault episode, fast-failing 500s would
+                # otherwise make the latency ring buffer look healthy
+                # exactly when the server is erroring
+                server.latencies_s.append(time.monotonic() - t_accept)
                 accept = (self.headers.get("Accept") or "").lower()
                 buf = io.BytesIO()
                 if "image/png" in accept:
@@ -695,11 +702,23 @@ class MaskClient:
 
     def __init__(self, base_url: str, wire: str = "npy",
                  timeout: float = 120.0):
+        import urllib.parse
+
         assert wire in ("npy", "png"), wire
         self.base_url = base_url.rstrip("/")
         self.wire = wire
         self.timeout = timeout
         self._conn = None
+        u = urllib.parse.urlsplit(self.base_url)
+        assert u.scheme in ("http", "https"), (
+            f"base_url must be http(s)://…, got {base_url!r}")
+        self._scheme = u.scheme
+        self._netloc = u.netloc
+        self._host = u.hostname
+        self._port = u.port  # None → scheme default (80/443)
+        # path prefix survives (e.g. a reverse proxy mounting the server at
+        # http://host/masks → requests go to /masks/predict)
+        self._prefix = u.path.rstrip("/")
 
     def _request(self, method: str, path: str, body=None,
                  headers: dict | None = None):
@@ -710,14 +729,16 @@ class MaskClient:
         may have reaped it between requests)."""
         import http.client
         import urllib.error
-        import urllib.parse
 
+        path = self._prefix + path
         for attempt in (0, 1):
             try:
                 if self._conn is None:
-                    u = urllib.parse.urlsplit(self.base_url)
-                    self._conn = http.client.HTTPConnection(
-                        u.hostname, u.port or 80, timeout=self.timeout)
+                    conn_cls = (http.client.HTTPSConnection
+                                if self._scheme == "https"
+                                else http.client.HTTPConnection)
+                    self._conn = conn_cls(
+                        self._host, self._port, timeout=self.timeout)
                 self._conn.request(method, path, body=body,
                                    headers=headers or {})
                 r = self._conn.getresponse()
@@ -727,8 +748,8 @@ class MaskClient:
                     self._conn = None
                 if r.status >= 400:
                     raise urllib.error.HTTPError(
-                        self.base_url + path, r.status, r.reason,
-                        r.headers, io.BytesIO(raw))
+                        f"{self._scheme}://{self._netloc}{path}",
+                        r.status, r.reason, r.headers, io.BytesIO(raw))
                 return r.headers, raw
             except urllib.error.HTTPError:
                 raise  # a real HTTP response, not a transport failure
