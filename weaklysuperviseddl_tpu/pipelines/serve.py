@@ -674,6 +674,11 @@ class MaskServer:
 
     def stop(self):
         self._server.shutdown()
+        # release the listening socket now, not at GC. ThreadingHTTPServer is
+        # daemon-threaded and socketserver._Threads.append skips daemon
+        # threads, so server_close() cannot block on keep-alive handler
+        # threads idling in readline() (verified against this stdlib)
+        self._server.server_close()
         self._queue.put(None)
         for t in self._threads:
             t.join(timeout=5)
